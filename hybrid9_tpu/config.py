@@ -1,0 +1,129 @@
+"""Run configuration for HYBRID9-TPU.
+
+Replaces the reference's positional, line-ordered ``driver.txt`` config file
+and CONTROL module globals (reference: EXECUTE/driver.txt:1-26 parsed at
+SOURCE/INIT.f90:181-206; SOURCE/CONTROL.f90) with a typed, declarative
+dataclass.  The canonical vertical grid (soil-interface depths ``zi``) lives
+here because the reference treats it as configuration (driver.txt:17-26).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .physics import constants as c
+
+# Canonical 0.5-degree soil-interface depths in mm, surface down to the
+# aquifer interface (reference: EXECUTE/driver.txt:17-26).  zi[0] = 0 is the
+# surface; zi[9] = 5000 mm creates the virtual aquifer layer.
+CANONICAL_ZI_MM: Tuple[float, ...] = (
+    0.0, 45.0, 91.0, 166.0, 289.0, 493.0, 829.0, 1383.0, 2296.0, 5000.0,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerGrid:
+    """Vertical layer geometry derived from interface depths.
+
+    Mirrors the derivation at SOURCE/INIT.f90:252-263: layer thicknesses
+    ``dz[i] = zi[i+1] - zi[i]`` and node (centre) depths
+    ``zc[i] = zi[i+1] - dz[i]/2``.  All depths in mm, positive downward.
+    """
+
+    zi: np.ndarray   # [nlevgrnd + 1] interface depths, zi[0] = 0     (mm)
+    dz: np.ndarray   # [nlevgrnd] layer thicknesses                   (mm)
+    zc: np.ndarray   # [nlevgrnd] layer node depths                   (mm)
+
+    @classmethod
+    def from_interfaces(cls, zi_mm: Sequence[float] = CANONICAL_ZI_MM
+                        ) -> "LayerGrid":
+        zi = np.asarray(zi_mm, dtype=np.float64)
+        if zi[0] != 0.0 or np.any(np.diff(zi) <= 0.0):
+            raise ValueError("zi must start at 0 and increase monotonically")
+        dz = np.diff(zi)
+        zc = zi[1:] - dz / 2.0
+        return cls(zi=zi, dz=dz, zc=zc)
+
+    @property
+    def nlevgrnd(self) -> int:
+        return int(self.dz.shape[0])
+
+    @property
+    def nsoil(self) -> int:
+        """Hydrologically active soil layers (excludes aquifer layer)."""
+        return self.nlevgrnd - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Declarative run configuration.
+
+    Field-by-field equivalent of driver.txt (reference: EXECUTE/driver.txt)
+    plus new knobs the TPU build needs (dtype, sharding, checkpointing).
+    """
+
+    # --- Time stepping (driver.txt:2,4-5) ---------------------------------
+    nisurf: int = c.NISURF_DEFAULT    # Surface substeps per day.
+    start_year: int = 1901            # First simulated calendar year.
+    end_year: int = 1910              # Last simulated calendar year.
+
+    # --- Grid / domain ----------------------------------------------------
+    resolution_deg: float = 0.5       # Lon/lat cell size (0.5 or 0.25).
+    zi_mm: Tuple[float, ...] = CANONICAL_ZI_MM
+
+    # --- Forcing (driver.txt:3; READ_PGF.f90) -----------------------------
+    forcing: str = "synthetic"        # "synthetic" | "pgf" | "site".
+    forcing_path: Optional[str] = None
+    forcing_block_days: int = 366     # Days of forcing resident per block.
+
+    # --- Soil parameters (INIT.f90:473-726) -------------------------------
+    soil_source: str = "synthetic"    # "synthetic" | "netcdf".
+    soil_path: Optional[str] = None
+
+    # --- Site / single-column mode (driver.txt:6-16) ----------------------
+    interactive: bool = False         # Single-cell diagnostic mode.
+    site_lon: float = -120.95         # Focus longitude (Vaira Ranch).
+    site_lat: float = 38.41           # Focus latitude.
+    spinup_years: int = 0             # Spin-up repeats (LCLIM analog).
+
+    # --- Output / checkpointing -------------------------------------------
+    output_path: str = "output"
+    write_annual: bool = True         # Write axy<year> annual diagnostics.
+    checkpoint_every_years: int = 0   # 0 = disabled.
+    checkpoint_path: str = "checkpoints"
+
+    # --- TPU-specific -----------------------------------------------------
+    dtype: str = "float32"            # Working dtype for the physics.
+    mesh_axis: str = "cells"          # Mesh axis name for the cell shard.
+    cell_block: int = 1024            # Pad n_land to a multiple of this.
+    donate_state: bool = True         # Donate state buffers in the day step.
+
+    def layer_grid(self) -> LayerGrid:
+        return LayerGrid.from_interfaces(self.zi_mm)
+
+    @property
+    def dt(self) -> float:
+        """Substep length in seconds (reference: INIT.f90:214)."""
+        return c.SDAY / float(self.nisurf)
+
+    @property
+    def nx(self) -> int:
+        return int(round(360.0 / self.resolution_deg))
+
+    @property
+    def ny(self) -> int:
+        return int(round(180.0 / self.resolution_deg))
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        data = json.loads(text)
+        if "zi_mm" in data:
+            data["zi_mm"] = tuple(data["zi_mm"])
+        return cls(**data)

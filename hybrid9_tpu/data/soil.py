@@ -1,0 +1,130 @@
+"""Soil-property ingest pipeline.
+
+TPU-native replacement for the reference's INIT-time soil ingest
+(SOURCE/INIT.f90:473-726): HWSD texture mask, BNU 30-arc-sec saturated
+properties box-averaged to the model grid, unit conversions, Fmax with the
+reference's missing-value default, the -31 bar residual inversion, and the
+land-cell selection test.  When the archives are absent the synthetic
+generator stands in (data/synthetic.py) so the full pipeline stays
+runnable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..grids.grid import LandGrid, make_land_grid, synthetic_land_mask
+from ..physics import constants as c
+from ..state import SoilParams
+from ..utils.logging import get_logger
+from .synthetic import synthetic_soil_params
+
+log = get_logger(__name__)
+
+# Reference default when the Fmax field is missing: 3809/10000
+# (INIT.f90:652-680).
+FMAX_DEFAULT = 0.3809
+
+
+def box_average(fine: np.ndarray, factor: int) -> np.ndarray:
+    """Average a fine-resolution grid down by ``factor`` in each dim.
+
+    The vectorized form of the reference's 60x60 box-average of 30-arc-sec
+    BNU data onto 0.5 degrees (INIT.f90:579-600); NaNs (missing soil) are
+    excluded from the mean.
+    """
+    ny, nx = fine.shape
+    assert ny % factor == 0 and nx % factor == 0
+    blocks = fine.reshape(ny // factor, factor, nx // factor, factor)
+    with np.errstate(invalid="ignore"):
+        return np.nanmean(blocks, axis=(1, 3))
+
+
+def convert_bnu_units(theta_s_raw: np.ndarray, k_s_raw: np.ndarray,
+                      lambda_raw: np.ndarray, psi_s_raw: np.ndarray):
+    """BNU archive units -> model units (INIT.f90:602-631).
+
+    theta_s: 0.001 cm^3/cm^3 -> -, k_s: cm/day -> mm/s,
+    lambda: 0.001 -> -, psi_s: cm -> mm; bsw = 1/lambda.
+    """
+    theta_s = theta_s_raw / 1.0e3
+    hksat = 10.0 * k_s_raw / 86400.0
+    lambda_ = np.maximum(lambda_raw / 1.0e3, c.TRUNC)
+    psi_s = 10.0 * psi_s_raw
+    bsw = 1.0 / lambda_
+    return theta_s, hksat, lambda_, psi_s, bsw
+
+
+def residual_theta(theta_s: np.ndarray, psi_s: np.ndarray,
+                   lambda_: np.ndarray) -> np.ndarray:
+    """Residual water content at -31 bar (INIT.f90:707-726)."""
+    return theta_s * ((-3.1e9 / (1000.0 * 9.8)) / psi_s) ** (-lambda_)
+
+
+def land_selection_mask(soil_tex: np.ndarray,
+                        theta_s_sum: np.ndarray) -> np.ndarray:
+    """The reference's computable-cell test (HYBRID9.f90:122-123):
+    textured soil, not water bodies (class 13), non-degenerate porosity.
+    """
+    return (soil_tex > 0) & (soil_tex != 13) & (theta_s_sum > c.TRUNC)
+
+
+def load_soil(cfg, dtype=jnp.float32,
+              land_grid: Optional[LandGrid] = None
+              ) -> tuple[LandGrid, SoilParams]:
+    """Build (LandGrid, SoilParams) from config.
+
+    ``soil_source == "netcdf"`` expects preprocessed per-layer fields (the
+    one-time offline analog of INIT's 30-arc-sec regrid); otherwise the
+    deterministic synthetic generator is used.
+    """
+    if cfg.soil_source == "netcdf" and cfg.soil_path:
+        from ..io import netcdf as nc
+        fields = nc.read_grid_file(
+            cfg.soil_path,
+            ["theta_s", "hksat", "lambda", "psi_s", "fmax", "soil_tex"])
+        soil_tex = fields["soil_tex"]
+        theta_s = fields["theta_s"]
+        mask = land_selection_mask(soil_tex,
+                                   np.nansum(theta_s, axis=-1))
+        grid = make_land_grid(mask, cfg.resolution_deg, cfg.cell_block)
+        lambda_ = np.maximum(fields["lambda"], c.TRUNC)
+        raw = dict(
+            theta_s=grid.pack(theta_s, fill=0.4),
+            hksat=grid.pack(fields["hksat"], fill=1.0e-3),
+            lambda_=grid.pack(lambda_, fill=0.2),
+            psi_s=grid.pack(fields["psi_s"], fill=-300.0),
+            fmax=np.nan_to_num(grid.pack(fields["fmax"],
+                                         fill=FMAX_DEFAULT),
+                               nan=FMAX_DEFAULT),
+        )
+        raw["bsw"] = 1.0 / raw["lambda_"]
+        raw["theta_m"] = residual_theta(raw["theta_s"], raw["psi_s"],
+                                        raw["lambda_"])
+        log.info("loaded NetCDF soil: %d land cells (%d padded)",
+                 grid.n_land, grid.n_padded)
+    else:
+        if land_grid is None:
+            mask = synthetic_land_mask(cfg.resolution_deg)
+            grid = make_land_grid(mask, cfg.resolution_deg,
+                                  cfg.cell_block)
+        else:
+            grid = land_grid
+        raw = synthetic_soil_params(grid.n_padded, seed=0,
+                                    lat=grid.cell_lat)
+        log.info("synthetic soil: %d land cells (%d padded)",
+                 grid.n_land, grid.n_padded)
+
+    params = SoilParams(
+        theta_s=jnp.asarray(raw["theta_s"], dtype),
+        hksat=jnp.asarray(raw["hksat"], dtype),
+        lambda_=jnp.asarray(raw["lambda_"], dtype),
+        bsw=jnp.asarray(raw["bsw"], dtype),
+        psi_s=jnp.asarray(raw["psi_s"], dtype),
+        theta_m=jnp.asarray(raw["theta_m"], dtype),
+        fmax=jnp.asarray(raw["fmax"], dtype),
+    )
+    return grid, params

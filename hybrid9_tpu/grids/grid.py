@@ -1,0 +1,154 @@
+"""Global lon/lat grid, land mask, and packed-cell gather/scatter.
+
+Replaces the reference's dense (lon, lat) arrays with ocean cells skipped
+inside the compute loop (mask test at SOURCE/HYBRID9.f90:122-123) by a
+one-time gather of land cells into a packed ``[n]`` axis: every lane does
+useful work and the shard across chips is perfectly load-balanced — the
+TPU-native fix for the reference's idle ocean-heavy MPI ranks
+(SURVEY.md C14).  Index maps are kept for scattering diagnostics back to
+the (lon, lat) grid at output time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+def cell_centres(resolution_deg: float) -> tuple[np.ndarray, np.ndarray]:
+    """Lon/lat cell-centre coordinates, matching the PGF convention
+    (0.5-degree grid, centres at +/-0.25-style offsets; INIT.f90:141-146).
+    """
+    nx = int(round(360.0 / resolution_deg))
+    ny = int(round(180.0 / resolution_deg))
+    half = resolution_deg / 2.0
+    lon = -180.0 + half + resolution_deg * np.arange(nx)
+    lat = 90.0 - half - resolution_deg * np.arange(ny)
+    return lon, lat
+
+
+@dataclasses.dataclass(frozen=True)
+class LandGrid:
+    """Packed land-cell view of a global lon/lat grid.
+
+    ``land_idx`` holds flat indices (y * nx + x) of land cells; the packed
+    axis is padded to ``n_padded`` (a multiple of the requested block) so
+    it tiles the VPU lanes and divides any device count; ``valid`` masks
+    real cells vs padding.
+    """
+
+    nx: int
+    ny: int
+    resolution_deg: float
+    land_idx: np.ndarray      # [n_land] flat indices into the global grid
+    n_padded: int
+
+    @property
+    def n_land(self) -> int:
+        return int(self.land_idx.shape[0])
+
+    @property
+    def valid(self) -> np.ndarray:
+        v = np.zeros(self.n_padded, dtype=bool)
+        v[:self.n_land] = True
+        return v
+
+    @property
+    def lon(self) -> np.ndarray:
+        lon, _ = cell_centres(self.resolution_deg)
+        return lon
+
+    @property
+    def lat(self) -> np.ndarray:
+        _, lat = cell_centres(self.resolution_deg)
+        return lat
+
+    @property
+    def cell_lat(self) -> np.ndarray:
+        """[n_padded] latitude of each packed cell (padding gets 0)."""
+        out = np.zeros(self.n_padded)
+        out[:self.n_land] = self.lat[self.land_idx // self.nx]
+        return out
+
+    @property
+    def cell_lon(self) -> np.ndarray:
+        out = np.zeros(self.n_padded)
+        out[:self.n_land] = self.lon[self.land_idx % self.nx]
+        return out
+
+    def pack(self, field2d: np.ndarray, fill: float = 0.0) -> np.ndarray:
+        """Gather a [ny, nx] (or [ny, nx, ...]) field to the packed axis."""
+        flat = field2d.reshape(self.ny * self.nx, *field2d.shape[2:])
+        packed = flat[self.land_idx]
+        pad = self.n_padded - self.n_land
+        if pad:
+            pad_block = np.full((pad, *packed.shape[1:]), fill,
+                                dtype=packed.dtype)
+            packed = np.concatenate([packed, pad_block], axis=0)
+        return packed
+
+    def scatter(self, packed: np.ndarray,
+                fill: float = np.nan) -> np.ndarray:
+        """Scatter a packed [n_padded, ...] array back to [ny, nx, ...].
+
+        Ocean cells get ``fill`` (the reference writes NaN fill values,
+        WRITE_NET_CDF_3DR.f90:186-197).
+        """
+        out = np.full((self.ny * self.nx, *packed.shape[1:]), fill,
+                      dtype=packed.dtype)
+        out[self.land_idx] = packed[:self.n_land]
+        return out.reshape(self.ny, self.nx, *packed.shape[1:])
+
+    def cell_index_of(self, lon_w: float, lat_w: float) -> int:
+        """Packed index of the land cell nearest (lon_w, lat_w).
+
+        The analog of the reference's INTERACTIVE focus-cell lookup
+        (INIT.f90:220-236, 462-466).
+        """
+        ys = self.land_idx // self.nx
+        xs = self.land_idx % self.nx
+        d2 = (self.lon[xs] - lon_w) ** 2 + (self.lat[ys] - lat_w) ** 2
+        return int(np.argmin(d2))
+
+
+def make_land_grid(land_mask: np.ndarray, resolution_deg: float = 0.5,
+                   pad_multiple: int = 1024) -> LandGrid:
+    """Build a LandGrid from a boolean [ny, nx] land mask."""
+    ny, nx = land_mask.shape
+    land_idx = np.flatnonzero(land_mask.reshape(-1))
+    n = land_idx.shape[0]
+    n_padded = max(pad_multiple,
+                   ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    return LandGrid(nx=nx, ny=ny, resolution_deg=resolution_deg,
+                    land_idx=land_idx, n_padded=n_padded)
+
+
+def synthetic_land_mask(resolution_deg: float = 0.5, seed: int = 0,
+                        land_fraction: float = 0.29) -> np.ndarray:
+    """Deterministic pseudo-continents with a realistic land fraction.
+
+    Smooth random field thresholded at the requested land fraction; polar
+    caps excluded like the HWSD mask effectively does.  A stand-in for the
+    soil_tex > 0 & != 13 test (HYBRID9.f90:122-123) when HWSD data is not
+    on disk.
+    """
+    nx = int(round(360.0 / resolution_deg))
+    ny = int(round(180.0 / resolution_deg))
+    rng = np.random.RandomState(seed)
+    # Low-frequency Fourier field -> continent-scale blobs.
+    field = np.zeros((ny, nx))
+    yy = np.linspace(0.0, 2.0 * np.pi, ny, endpoint=False)
+    xx = np.linspace(0.0, 2.0 * np.pi, nx, endpoint=False)
+    for ky in range(1, 5):
+        for kx in range(1, 5):
+            amp = rng.normal() / (kx * kx + ky * ky)
+            ph_x, ph_y = rng.uniform(0, 2 * np.pi, 2)
+            field += amp * np.outer(np.cos(ky * yy + ph_y),
+                                    np.cos(kx * xx + ph_x))
+    _, lat = cell_centres(resolution_deg)
+    polar = (np.abs(lat) > 83.0)[:, None] & np.ones((1, nx), dtype=bool)
+    field[polar] = -np.inf
+    thresh = np.quantile(field[~polar], 1.0 - land_fraction)
+    return field >= thresh

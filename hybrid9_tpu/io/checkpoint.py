@@ -1,0 +1,71 @@
+"""Checkpoint/restore of the prognostic state pytree.
+
+The reference has NO checkpointing — state lives only in memory for the
+run, restarts are an unimplemented aspiration (notes.txt:16; SURVEY.md
+§5).  The TPU build makes resumable multi-year runs first-class using
+Orbax: the full ModelState pytree (plus the simulated year) is saved
+asynchronously and restored shard-by-shard under any device mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+
+from ..state import ModelState
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+try:
+    import orbax.checkpoint as ocp
+    HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    HAVE_ORBAX = False
+
+
+class Checkpointer:
+    """Orbax-backed checkpoint manager keyed by simulated year."""
+
+    def __init__(self, path: str, max_to_keep: int = 3):
+        if not HAVE_ORBAX:
+            raise RuntimeError("orbax.checkpoint is unavailable")
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.path,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, year: int, state: ModelState) -> None:
+        self.manager.save(year, args=ocp.args.StandardSave(state))
+        log.info("checkpoint saved for year %d at %s", year, self.path)
+
+    def latest_year(self) -> Optional[int]:
+        step = self.manager.latest_step()
+        return None if step is None else int(step)
+
+    def restore(self, template: ModelState,
+                year: Optional[int] = None) -> Tuple[int, ModelState]:
+        """Restore the checkpoint at ``year`` (default latest).
+
+        ``template`` provides shapes/dtypes/shardings for the restored
+        pytree (abstract restore works across device topologies).
+        """
+        step = year if year is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.path}")
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, template)
+        state = self.manager.restore(
+            step, args=ocp.args.StandardRestore(abstract))
+        log.info("restored checkpoint for year %d", step)
+        return int(step), state
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def close(self) -> None:
+        self.manager.close()

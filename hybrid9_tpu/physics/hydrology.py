@@ -1,0 +1,135 @@
+"""Fused hydrology substep: the model's hot kernel.
+
+TPU-native batched implementation of the reference's per-cell HYDROLOGY
+subroutine (SOURCE/HYDROLOGY.f90): one substep = one pure jitted function
+``(SoilState, veg, forcing) -> (SoilState, SubstepFluxes)`` over all packed
+land cells at once.  Stage ordering follows the reference:
+
+  surface runoff -> dual-source ET -> infiltration -> implicit vertical
+  soil water (ZD09 + batched Thomas) -> aquifer recharge -> drainage /
+  water-table -> fix-ups -> conservation residual.
+
+The ~15 stages are straight-line jnp code over ``[n]`` / ``[n, 8]`` arrays;
+XLA fuses them into a handful of VPU kernels, so the whole substep is one
+HBM round-trip of ~60 floats per cell.  The per-step water-balance residual
+(HYDROLOGY.f90:1221-1274) is returned as a diagnostic field instead of
+aborting — tests assert ``max |residual| < 0.1 mm``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from . import constants as c
+from .drainage import drainage
+from .et import dual_source_et
+from .soilwater import soil_water_update
+from ..state import Forcing, SoilState, SubstepFluxes, VegState
+
+
+class Geometry(NamedTuple):
+    """Static vertical geometry, device-resident (mm)."""
+
+    zi: jnp.ndarray       # [10] interface depths
+    dz_soil: jnp.ndarray  # [8] soil-layer thicknesses
+    zc_soil: jnp.ndarray  # [8] soil-layer node depths
+
+    @classmethod
+    def from_layer_grid(cls, grid, dtype=jnp.float32) -> "Geometry":
+        nl = c.NSOIL_LAYERS
+        return cls(
+            zi=jnp.asarray(grid.zi, dtype),
+            dz_soil=jnp.asarray(grid.dz[:nl], dtype),
+            zc_soil=jnp.asarray(grid.zc[:nl], dtype),
+        )
+
+
+def derive_forcing(f: Forcing) -> Dict[str, jnp.ndarray]:
+    """Daily forcing scalars derived by the driver (HYBRID9.f90:168-189).
+
+    Net radiation with 8 % shortwave albedo, PAR conversion, rain flux and
+    the latent heat of vaporisation (Pereira da Silva 2012 Eqn 4).
+    """
+    tak = f.tas
+    rnet = 0.92 * f.rsds + f.rlds - c.STBO * f.tas ** 4
+    par = 0.92 * f.rsds * 2.3
+    forc_rain = 1.0e3 * f.pr / c.RHOW
+    lamb = (2503.0 - 2.386 * (tak - c.TF)) * 1.0e3
+    return dict(tak=tak, rh=f.rhs, rnet=rnet, par=par,
+                forc_rain=forc_rain, lamb=lamb, huss=f.huss, ps=f.ps)
+
+
+def hydrology_substep(soil: SoilState, veg: VegState, params,
+                      fd: Dict[str, jnp.ndarray], geom: Geometry,
+                      dt: float) -> Tuple[SoilState, SubstepFluxes]:
+    """One hydrology substep for all cells.
+
+    ``params`` is a SoilParams pytree; ``fd`` is the derived-forcing dict
+    from :func:`derive_forcing` (computed once per day, reused across the
+    48 substeps).
+    """
+    nl = c.NSOIL_LAYERS
+    dz = geom.dz_soil
+
+    # Opening balance and volumetric water (HYDROLOGY.f90:141-151).
+    w0 = fd["forc_rain"] * dt + soil.wa + jnp.sum(soil.h2osoi_liq, axis=-1)
+    theta = soil.h2osoi_liq / (dz[None, :] * c.RHOW / 1.0e3)
+
+    # CESM SurfaceRunoff: TOPMODEL saturated fraction
+    # (HYDROLOGY.f90:178-213).
+    fsat = params.fmax * jnp.exp(-0.5 * c.FFF * soil.zwt)
+    qflx_top_soil = fd["forc_rain"]
+    qflx_surf = fsat * qflx_top_soil
+
+    # Dual-source ET (HYDROLOGY.f90:228-418).
+    et = dual_source_et(theta, params.theta_s, soil.smp, veg.rootr,
+                        veg.lai, veg.lai_litter, geom.zc_soil,
+                        dz[0], dt, fd)
+
+    # CESM Infiltration (HYDROLOGY.f90:426-478).
+    eff_porosity = jnp.maximum(0.01, params.theta_s)
+    qflx_in_soil = (qflx_top_soil - qflx_surf) - et.qflx_evap_grnd
+    qinmax = (1.0 - fsat) * jnp.min(params.hksat[:, 0:3], axis=-1)
+    qflx_infl_excess = jnp.maximum(0.0, qflx_in_soil - qinmax)
+    qflx_infl = qflx_in_soil - qflx_infl_excess
+    qflx_surf = qflx_surf + qflx_infl_excess
+
+    # CESM SoilWater: implicit vertical step + recharge
+    # (HYDROLOGY.f90:485-909).
+    sw = soil_water_update(
+        soil.h2osoi_liq, theta, soil.zwt, params.theta_s, params.hksat,
+        params.psi_s, params.bsw, qflx_infl, et.qflx_tran_veg, veg.rootr,
+        geom.zi, dz, geom.zc_soil, dt)
+
+    # CESM Drainage: water table, baseflow, fix-ups
+    # (HYDROLOGY.f90:911-1216).
+    dr = drainage(sw.h2osoi, soil.zwt, soil.wa, sw.qcharge,
+                  params.theta_s, params.psi_s, params.bsw, eff_porosity,
+                  geom.zi, dz, dt)
+
+    # Conservation residual (HYDROLOGY.f90:1221-1274) as a diagnostic.
+    w1 = (qflx_surf + et.qflx_evap_grnd + et.qflx_tran_veg
+          + dr.rsub_top + dr.qflx_rsub_sat) * dt + dr.wa \
+        + jnp.sum(dr.h2osoi, axis=-1)
+    residual = w1 - w0
+
+    new_soil = SoilState(
+        h2osoi_liq=dr.h2osoi,
+        zwt=dr.zwt,
+        wa=dr.wa,
+        smp=sw.smp,
+        h2osoi_liq_ma=soil.h2osoi_liq_ma,
+    )
+    fluxes = SubstepFluxes(
+        qflx_surf=qflx_surf,
+        qflx_evap_grnd=et.qflx_evap_grnd,
+        qflx_tran_veg=et.qflx_tran_veg,
+        rsub_top=dr.rsub_top,
+        qflx_rsub_sat=dr.qflx_rsub_sat,
+        qcharge=sw.qcharge,
+        rnff=dr.rnff,
+        residual=residual,
+    )
+    return new_soil, fluxes

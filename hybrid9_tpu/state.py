@@ -1,0 +1,236 @@
+"""Model state pytrees.
+
+TPU-native replacement for the reference's global shared-state module
+(reference: SOURCE/SHARED.f90) — instead of module-level mutable arrays
+indexed by the current cell ``(x, y)``, all state lives in immutable, typed
+pytrees with a packed leading cell axis ``[n]`` (land cells only, gathered
+once at init; see grids/grid.py), HBM-resident and shardable with
+``jax.sharding.NamedSharding`` along that axis.
+
+Shapes: ``[n]`` per-cell scalars, ``[n, 8]`` per-cell-per-soil-layer,
+``[n, 9]`` where the virtual aquifer layer is included.  Units follow the
+reference exactly (mm, mm/s, K, W/m^2, g, m^2/m^2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .physics import constants as c
+
+
+@struct.dataclass
+class SoilParams:
+    """Static per-cell soil properties.
+
+    Reference fields: SHARED.f90:398-430 (theta_s, hksat, lambda, bsw,
+    psi_s, theta_m stacks) and Fmax (SHARED.f90:445-449, read at
+    INIT.f90:652-680).
+    """
+
+    theta_s: jax.Array    # [n, 8] Saturated vol. water content (mm^3/mm^3)
+    hksat: jax.Array      # [n, 8] Saturated hydraulic conductivity  (mm/s)
+    lambda_: jax.Array    # [n, 8] Pore-size distribution index         (-)
+    bsw: jax.Array        # [n, 8] Clapp-Hornberger b = 1/lambda        (-)
+    psi_s: jax.Array      # [n, 8] Saturated matric potential          (mm)
+    theta_m: jax.Array    # [n, 8] Residual water content at -31 bar    (-)
+    fmax: jax.Array       # [n]    Max. saturated fraction              (-)
+
+    @property
+    def n_cells(self) -> int:
+        return self.theta_s.shape[0]
+
+
+@struct.dataclass
+class SoilState:
+    """Prognostic per-cell hydrology state.
+
+    Reference fields: h2osoi_liq (SHARED.f90:459), zwt (:466), wa (:472),
+    plus the soil matric potential ``smp`` which the reference carries
+    implicitly across substeps in a work array (HYDROLOGY.f90:633 computes
+    it; :271 and GROW.f90:57 consume the previous value).  The macropore
+    store h2osoi_liq_ma exists in the reference but is never evolved
+    (SURVEY.md C15); we carry it for diagnostic parity.
+    """
+
+    h2osoi_liq: jax.Array     # [n, 8] Liquid water per layer          (mm)
+    zwt: jax.Array            # [n]    Water table depth                (m)
+    wa: jax.Array             # [n]    Aquifer water store             (mm)
+    smp: jax.Array            # [n, 8] Matric potential (lagged)       (mm)
+    h2osoi_liq_ma: jax.Array  # [n, 8] Macropore liquid water          (mm)
+
+
+@struct.dataclass
+class VegState:
+    """Prognostic per-cell vegetation state.
+
+    Reference fields: SHARED.f90:30-52 (plant pools), LAI/LAI_litter, and
+    the root distribution rootr_col produced by GROW and consumed by the
+    transpiration sink (GROW.f90:178-182; HYDROLOGY.f90:671-672).  The
+    reference supports nplants_max = 1 (SHARED.f90:63), so plant arrays are
+    stored per cell without a plant axis.
+    """
+
+    plant_mass: jax.Array          # [n] Plant structural mass       (g DM)
+    plant_foliage_mass: jax.Array  # [n] Foliage mass                (g DM)
+    plant_length: jax.Array        # [n] Cylinder length               (mm)
+    rdepth: jax.Array              # [n] Rooting depth                 (mm)
+    lai: jax.Array                 # [n] Leaf area index          (m^2/m^2)
+    lai_litter: jax.Array          # [n] Litter-layer LAI         (m^2/m^2)
+    rootr: jax.Array               # [n, 8] Root fraction per layer     (-)
+    c_labile: jax.Array            # [n] Labile C pool                (g C)
+    n_labile: jax.Array            # [n] Labile N pool                (g N)
+    p_labile: jax.Array            # [n] Labile P pool                (g P)
+
+
+@struct.dataclass
+class ModelState:
+    """Full prognostic state: soil + vegetation."""
+
+    soil: SoilState
+    veg: VegState
+
+
+@struct.dataclass
+class Forcing:
+    """Daily climate forcing for one day (PGF variable set).
+
+    Reference: the seven PGF fields read by READ_PGF (READ_PGF.f90:22-109)
+    sliced to one day.  Arrays are ``[n]`` over packed land cells; a forcing
+    *block* is ``[days, n]`` and is scanned over in the day loop.
+    """
+
+    tas: jax.Array    # [n] Surface air temperature                     (K)
+    rlds: jax.Array   # [n] Downwelling longwave radiation          (W/m^2)
+    rsds: jax.Array   # [n] Downwelling shortwave radiation         (W/m^2)
+    huss: jax.Array   # [n] Specific humidity                       (kg/kg)
+    ps: jax.Array     # [n] Surface air pressure                       (Pa)
+    pr: jax.Array     # [n] Precipitation flux                   (kg/m^2/s)
+    rhs: jax.Array    # [n] Relative humidity                           (%)
+
+
+@struct.dataclass
+class SubstepFluxes:
+    """Per-substep diagnostic fluxes (mm/s unless noted).
+
+    Mirrors the locals the reference accumulates or dumps in its
+    water-balance check (HYDROLOGY.f90:1221-1283).
+    """
+
+    qflx_surf: jax.Array       # [n] Surface runoff
+    qflx_evap_grnd: jax.Array  # [n] Ground (substrate) evaporation
+    qflx_tran_veg: jax.Array   # [n] Canopy transpiration
+    rsub_top: jax.Array        # [n] Topographic subsurface runoff
+    qflx_rsub_sat: jax.Array   # [n] Saturation-excess drainage
+    qcharge: jax.Array         # [n] Aquifer recharge
+    rnff: jax.Array            # [n, 9] Per-layer topographic drainage
+    residual: jax.Array        # [n] Water-balance residual w1 - w0   (mm)
+
+
+@struct.dataclass
+class AnnualAccumulators:
+    """Running annual sums carried through the day scan.
+
+    Replaces the per-cell scalar accumulators of the reference driver
+    (HYBRID9.f90:134-146, 235-253) with ``[n]`` arrays.  Unlike the
+    reference, ``evap_sum`` is actually accumulated (the reference zeroes
+    it but never adds to it — SURVEY.md C15; see DEVIATIONS.md).
+    """
+
+    npp_sum: jax.Array          # [n] NPP                      (g DM/m^2/yr)
+    plant_mass_sum: jax.Array   # [n] Plant mass                     (g DM)
+    rnf_sum: jax.Array          # [n] Runoff                           (mm)
+    evap_sum: jax.Array         # [n] Evapotranspiration               (mm)
+    tas_sum: jax.Array          # [n] Air temperature                   (K)
+    rlds_sum: jax.Array         # [n]
+    rsds_sum: jax.Array         # [n]
+    huss_sum: jax.Array         # [n]
+    ps_sum: jax.Array           # [n]
+    pr_sum: jax.Array           # [n]
+    rhs_sum: jax.Array          # [n]
+    theta_sum: jax.Array        # [n, 8] Volumetric water          (m^3/m^3)
+    h2osoi_total_sum: jax.Array  # [n] Total column water              (mm)
+    n_days: jax.Array           # [] Days accumulated                   (-)
+    max_abs_residual: jax.Array  # [n] Max |water-balance residual|    (mm)
+
+    @classmethod
+    def zeros(cls, n: int, nsoil: int = c.NSOIL_LAYERS,
+              dtype=jnp.float32) -> "AnnualAccumulators":
+        z = jnp.zeros((n,), dtype)
+        return cls(
+            npp_sum=z, plant_mass_sum=z, rnf_sum=z, evap_sum=z,
+            tas_sum=z, rlds_sum=z, rsds_sum=z, huss_sum=z, ps_sum=z,
+            pr_sum=z, rhs_sum=z,
+            theta_sum=jnp.zeros((n, nsoil), dtype),
+            h2osoi_total_sum=z,
+            n_days=jnp.zeros((), dtype),
+            max_abs_residual=z,
+        )
+
+
+def initial_state(params: SoilParams, dz_mm: np.ndarray, zi_mm: np.ndarray,
+                  dtype=jnp.float32) -> ModelState:
+    """Build the t=0 prognostic state from soil parameters.
+
+    Follows INIT.f90:707-811: layers start at 40 % of saturation, the water
+    table sits 5 m below the bottom soil interface, the aquifer holds
+    4000 mm, and one plant of mass 1 g with foliage 0.0435 g (LAI ~ 0.001)
+    occupies each cell with an exponential root profile (90 % of roots
+    within rdepth; Baldocchi).  ``smp`` is initialised consistently from the
+    initial moisture (the reference leaves it uninitialised — see
+    DEVIATIONS.md).
+    """
+    n = params.n_cells
+    nsoil = c.NSOIL_LAYERS
+    dz = jnp.asarray(dz_mm[:nsoil], dtype)
+    zi = jnp.asarray(zi_mm, dtype)
+
+    theta_s = params.theta_s.astype(dtype)
+    # INIT.f90:730-733 — initial water = 0.4 * theta_s * dz (mm).
+    h2osoi_liq = 0.4 * theta_s * dz[None, :]
+    h2osoi_liq_ma = 0.4 * 0.1 * dz[None, :] * jnp.ones((n, 1), dtype)
+    # Initial smp from theta (Clapp-Hornberger, O13 Eqn 7.94) so the first
+    # substep's beta sees a consistent value.
+    s = jnp.clip(0.4 * jnp.ones_like(theta_s), 0.01, 1.0)
+    smp = jnp.maximum(jnp.asarray(c.SMPMIN, dtype),
+                      params.psi_s.astype(dtype) * s ** (-params.bsw.astype(dtype)))
+
+    soil = SoilState(
+        h2osoi_liq=h2osoi_liq,
+        zwt=jnp.full((n,), float(zi_mm[nsoil] + 5000.0) / 1000.0, dtype),
+        wa=jnp.full((n,), 4000.0, dtype),
+        smp=smp,
+        h2osoi_liq_ma=h2osoi_liq_ma,
+    )
+
+    plant_mass = jnp.ones((n,), dtype)
+    plant_foliage_mass = jnp.full((n,), 0.0435, dtype)
+    plant_length = (400.0 * plant_mass / 3.142e-3) ** (1.0 / 3.0)
+    rdepth = 0.3 * plant_length
+    lai = plant_foliage_mass * c.SLA / c.PLOT_AREA
+    # Exponential root profile (INIT.f90:793-807; GROW.f90:176-182).
+    decay = jnp.exp(jnp.log(0.1) / (rdepth / 10.0))
+    rootr = (decay[:, None] ** (zi[None, :nsoil] / 10.0)
+             - decay[:, None] ** (zi[None, 1:nsoil + 1] / 10.0))
+    c_labile = plant_mass * 0.5 * 0.1
+    n_labile = c_labile * 0.035
+    p_labile = n_labile * 0.025
+
+    veg = VegState(
+        plant_mass=plant_mass,
+        plant_foliage_mass=plant_foliage_mass,
+        plant_length=plant_length,
+        rdepth=rdepth,
+        lai=lai,
+        lai_litter=jnp.full((n,), 0.001, dtype),
+        rootr=rootr.astype(dtype),
+        c_labile=c_labile,
+        n_labile=n_labile,
+        p_labile=p_labile,
+    )
+    return ModelState(soil=soil, veg=veg)

@@ -1,0 +1,147 @@
+"""Time-step composition: substep -> day -> forcing block.
+
+TPU-native replacement for the reference driver's loop nest
+(SOURCE/HYBRID9.f90:93-332): the NISURF sub-daily loop becomes a
+``lax.scan`` over a fused substep kernel, the day loop a ``lax.scan`` over
+a forcing block, and the reference's per-cell scalar annual accumulators
+(HYBRID9.f90:134-146, 235-253) become ``[n]`` arrays carried through the
+scan.  Everything here is jit-compatible and shard-transparent: under a
+``NamedSharding`` over the cell axis, XLA partitions the whole scan with
+zero compute-phase communication, mirroring the reference's
+embarrassingly-parallel domain decomposition (SURVEY.md C14).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .physics import constants as c
+from .physics.grow import grow_daily
+from .physics.hydrology import Geometry, derive_forcing, hydrology_substep
+from .state import (AnnualAccumulators, Forcing, ModelState, SoilParams,
+                    SubstepFluxes)
+
+
+def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
+             geom: Geometry, dt: float, nisurf: int
+             ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
+    """One model day: ``nisurf`` hydrology substeps then daily growth.
+
+    Returns the new state and daily diagnostics (evaporation, runoff, NPP,
+    max water-balance residual), the analog of the reference's daily
+    accumulation (HYBRID9.f90:193-253).
+    """
+    fd = derive_forcing(forcing)
+    veg = state.veg
+    n = forcing.tas.shape[0]
+    dtype = forcing.tas.dtype
+    zeros = jnp.zeros((n,), dtype)
+
+    # Daily sums ride the scan carry (not stacked ys): less HBM traffic
+    # and a smaller XLA graph than materialising [nisurf, n] flux arrays.
+    def substep(carry, _):
+        soil, evap, evap_grnd, rnf, max_res = carry
+        soil, fx = hydrology_substep(soil, veg, params, fd, geom, dt)
+        evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
+        evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
+        rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
+        max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
+        return (soil, evap, evap_grnd, rnf, max_res), None
+
+    carry0 = (state.soil, zeros, zeros, zeros, zeros)
+    (soil, evap_day, evap_grnd_day, rnf_day, max_res), _ = jax.lax.scan(
+        substep, carry0, None, length=nisurf)
+
+    veg, npp = grow_daily(veg, soil.smp, forcing.tas, geom.zi)
+
+    diags = dict(
+        evap_day=evap_day,
+        evap_grnd_day=evap_grnd_day,
+        rnf_day=rnf_day,
+        max_abs_residual=max_res,
+        npp=npp,
+    )
+    return ModelState(soil=soil, veg=veg), diags
+
+
+def _accumulate(acc: AnnualAccumulators, state: ModelState,
+                forcing: Forcing, diags: Dict[str, jnp.ndarray],
+                dz_soil: jnp.ndarray) -> AnnualAccumulators:
+    """Daily accumulation into annual sums (HYBRID9.f90:235-253)."""
+    theta = state.soil.h2osoi_liq / (dz_soil[None, :] * c.RHOW / 1.0e3)
+    return acc.replace(
+        npp_sum=acc.npp_sum + diags["npp"],
+        plant_mass_sum=acc.plant_mass_sum + state.veg.plant_mass,
+        rnf_sum=acc.rnf_sum + diags["rnf_day"],
+        evap_sum=acc.evap_sum + diags["evap_day"],
+        tas_sum=acc.tas_sum + forcing.tas,
+        rlds_sum=acc.rlds_sum + forcing.rlds,
+        rsds_sum=acc.rsds_sum + forcing.rsds,
+        huss_sum=acc.huss_sum + forcing.huss,
+        ps_sum=acc.ps_sum + forcing.ps,
+        pr_sum=acc.pr_sum + forcing.pr,
+        rhs_sum=acc.rhs_sum + forcing.rhs,
+        theta_sum=acc.theta_sum + theta,
+        h2osoi_total_sum=acc.h2osoi_total_sum
+        + jnp.sum(state.soil.h2osoi_liq, axis=-1),
+        n_days=acc.n_days + 1.0,
+        max_abs_residual=jnp.maximum(acc.max_abs_residual,
+                                     diags["max_abs_residual"]),
+    )
+
+
+# NOTE: no buffer donation here — the axon TPU backend fails D2H
+# transfers of outputs from donated-input executables (InvalidArgument).
+# Donation saves one state-sized HBM copy per block; revisit when the
+# backend supports it.
+@functools.partial(jax.jit, static_argnames=("nisurf", "dt"))
+def block_step(state: ModelState, acc: AnnualAccumulators,
+               forcing_block: Forcing, params: SoilParams, geom: Geometry,
+               dt: float, nisurf: int
+               ) -> Tuple[ModelState, AnnualAccumulators]:
+    """Scan the day step over a ``[days, n]`` forcing block.
+
+    This is the unit of compiled work: the host feeds one forcing block at
+    a time (month/year), keeping HBM bounded, and the whole block runs as
+    a single XLA computation — the reference's decade-resident forcing
+    (HYBRID9.f90:93-97) re-chunked for accelerator memory.
+    """
+
+    def body(carry, f_day):
+        st, ac = carry
+        st, diags = day_step(st, f_day, params, geom, dt, nisurf)
+        ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
+        return (st, ac), None
+
+    (state, acc), _ = jax.lax.scan(body, (state, acc), forcing_block)
+    return state, acc
+
+
+def annual_means(acc: AnnualAccumulators, nisurf: int
+                 ) -> Dict[str, jnp.ndarray]:
+    """Finalize annual-mean diagnostics (HYBRID9.f90:263-291).
+
+    Matches the reference's normalisations: npp is an annual sum; rnf and
+    evap are mean mm/s over substeps; state variables are daily means.
+    """
+    nt = acc.n_days
+    return dict(
+        npp=acc.npp_sum,
+        plant_mass=acc.plant_mass_sum / nt,
+        rnf=acc.rnf_sum / (nt * nisurf * (c.SDAY / nisurf)),
+        evap=acc.evap_sum / (nt * nisurf * (c.SDAY / nisurf)),
+        tas=acc.tas_sum / nt,
+        rlds=acc.rlds_sum / nt,
+        rsds=acc.rsds_sum / nt,
+        huss=acc.huss_sum / nt,
+        ps=acc.ps_sum / nt,
+        pr=acc.pr_sum / nt,
+        rhs=acc.rhs_sum / nt,
+        theta=acc.theta_sum / nt,
+        theta_total=acc.h2osoi_total_sum / nt,
+        max_abs_residual=acc.max_abs_residual,
+    )

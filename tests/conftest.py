@@ -1,0 +1,44 @@
+"""Test harness configuration.
+
+Forces the CPU backend with 8 virtual devices (before JAX import) so
+multi-chip sharding logic is exercised without TPU hardware, and enables
+x64 so the float64 column oracle and parity tests are meaningful.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's TPU PJRT plugin can override JAX_PLATFORMS at import
+# time; the config knob wins, so force the CPU backend explicitly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from hybrid9_tpu.config import LayerGrid  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def layer_grid() -> LayerGrid:
+    return LayerGrid.from_interfaces()
+
+
+@pytest.fixture(scope="session")
+def geometry_np(layer_grid):
+    """(zi, dz, zc) float64 NumPy geometry with 9-layer dz/zc buffers."""
+    zi = layer_grid.zi.copy()
+    dz = layer_grid.dz.copy()
+    zc = layer_grid.zc.copy()
+    return zi, dz, zc
+
+
+def pytest_configure(config):
+    np.seterr(all="ignore")

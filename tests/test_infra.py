@@ -1,0 +1,156 @@
+"""Infrastructure tests: calendar, config, grid pack/scatter, NetCDF I/O,
+forcing providers, checkpointing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid9_tpu import calendar
+from hybrid9_tpu.config import CANONICAL_ZI_MM, Config, LayerGrid
+from hybrid9_tpu.data.forcing import (PrefetchingProvider,
+                                      SyntheticForcingProvider)
+from hybrid9_tpu.grids.grid import (cell_centres, make_land_grid,
+                                    synthetic_land_mask)
+from hybrid9_tpu.io import netcdf
+
+
+def test_calendar_matches_reference_construction():
+    """time_BOY table: 1-based, leap-aware (INIT.f90:844-859)."""
+    table = calendar.time_boy_table()
+    assert table[0] == 1
+    # 1860 is a leap year (div by 4, not century).
+    assert table[1] - table[0] == 366
+    # Climate input 1901 starts at day 14976 in the reference's 1-based
+    # numbering (INIT.f90 comment: "Climate input 1901 starts Time =
+    # 14975", 0-based).
+    assert calendar.time_boy(1901) == 14976
+    # 1900 is NOT a leap year (century, not div 400).
+    assert calendar.time_boy(1901) - calendar.time_boy(1900) == 365
+    # 2000 IS a leap year.
+    assert calendar.time_boy(2001) - calendar.time_boy(2000) == 366
+
+
+def test_decade_spans():
+    assert calendar.decade_year_span(1) == (1901, 1910)
+    assert calendar.decade_year_span(11) == (2001, 2010)
+    assert calendar.decade_year_span(12) == (2011, 2012)
+    assert calendar.decade_of_year(1901) == 1
+    assert calendar.decade_of_year(2012) == 12
+
+
+def test_layer_grid_canonical():
+    """dz/zc derivation matches INIT.f90:252-263 on driver.txt depths."""
+    g = LayerGrid.from_interfaces()
+    assert g.nlevgrnd == 9
+    assert g.nsoil == 8
+    np.testing.assert_allclose(g.dz[0], 45.0)
+    np.testing.assert_allclose(g.zc[0], 22.5)
+    np.testing.assert_allclose(g.dz[8], 5000.0 - 2296.0)
+    np.testing.assert_allclose(g.zc[3], 289.0 - (289.0 - 166.0) / 2.0)
+
+
+def test_config_roundtrip():
+    cfg = Config(nisurf=24, resolution_deg=0.25, dtype="float64")
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg.dt == 3600.0
+    assert cfg.nx == 1440 and cfg.ny == 720
+
+
+def test_grid_pack_scatter_roundtrip():
+    mask = synthetic_land_mask(resolution_deg=4.0, seed=1)
+    grid = make_land_grid(mask, 4.0, pad_multiple=64)
+    assert grid.n_land == mask.sum()
+    assert grid.n_padded % 64 == 0
+    field = np.arange(mask.size, dtype=np.float64).reshape(mask.shape)
+    packed = grid.pack(field)
+    assert packed.shape == (grid.n_padded,)
+    back = grid.scatter(packed)
+    np.testing.assert_array_equal(back[mask], field[mask])
+    assert np.all(np.isnan(back[~mask]))
+    # 3-D fields (layers) roundtrip too.
+    f3 = np.stack([field, field * 2], axis=-1)
+    p3 = grid.pack(f3)
+    b3 = grid.scatter(p3)
+    np.testing.assert_array_equal(b3[mask], f3[mask])
+
+
+def test_grid_cell_lookup():
+    mask = synthetic_land_mask(resolution_deg=4.0, seed=1)
+    grid = make_land_grid(mask, 4.0, pad_multiple=64)
+    i = grid.cell_index_of(-120.95, 38.41)
+    assert 0 <= i < grid.n_land
+    # It must be the nearest land cell (synthetic continents need not
+    # have land at the exact site).
+    d2 = (grid.cell_lon[:grid.n_land] + 120.95) ** 2 \
+        + (grid.cell_lat[:grid.n_land] - 38.41) ** 2
+    assert i == int(np.argmin(d2))
+
+
+def test_cell_centres():
+    lon, lat = cell_centres(0.5)
+    assert lon.shape == (720,) and lat.shape == (360,)
+    assert lon[0] == -179.75 and lat[0] == 89.75
+    assert lon[-1] == 179.75 and lat[-1] == -89.75
+
+
+def test_netcdf_roundtrip(tmp_path):
+    """write_grid_file / read_grid_file roundtrip incl. fill values."""
+    lon, lat = cell_centres(4.0)
+    ny, nx = lat.shape[0], lon.shape[0]
+    rng = np.random.RandomState(0)
+    f2 = rng.uniform(0.0, 300.0, (ny, nx))
+    f2[0, :] = np.nan  # ocean row
+    f3 = rng.uniform(0.0, 0.5, (ny, nx, 8))
+    path = str(tmp_path / "test.nc")
+    netcdf.write_grid_file(path, {"tas": f2, "theta": f3}, lon, lat,
+                           units={"tas": "K"}, layer_dim=8)
+    back = netcdf.read_grid_file(path, ["tas", "theta"])
+    np.testing.assert_allclose(back["tas"][1:], f2[1:], rtol=1e-6)
+    assert np.all(np.isnan(back["tas"][0]))
+    np.testing.assert_allclose(back["theta"], f3, rtol=1e-6)
+    # Raw hyperslab read path.
+    sl = netcdf.read_variable(path, "tas", (slice(0, 3),))
+    assert sl.shape[0] == 3
+
+
+def test_synthetic_forcing_provider_prefetch():
+    base = SyntheticForcingProvider(32, seed=5, dtype=jnp.float64)
+    pre = PrefetchingProvider(base)
+    pre.prefetch(1901, 1, 10)
+    f = pre(1901, 1, 10)
+    assert f.tas.shape == (10, 32)
+    # Deterministic: same request -> same data.
+    f2 = base(1901, 1, 10)
+    np.testing.assert_array_equal(np.asarray(f.tas), np.asarray(f2.tas))
+    # Different year -> different data.
+    f3 = base(1902, 1, 10)
+    assert not np.array_equal(np.asarray(f.tas), np.asarray(f3.tas))
+    pre.close()
+
+
+def test_checkpoint_roundtrip(tmp_path, layer_grid):
+    """Orbax save/restore of the full ModelState pytree."""
+    pytest.importorskip("orbax.checkpoint")
+    from hybrid9_tpu.data.synthetic import synthetic_soil_params
+    from hybrid9_tpu.io.checkpoint import Checkpointer
+    from hybrid9_tpu.state import SoilParams, initial_state
+
+    raw = synthetic_soil_params(16, seed=0)
+    params = SoilParams(**{k: jnp.asarray(v, jnp.float32)
+                           for k, v in raw.items()})
+    state = initial_state(params, layer_grid.dz, layer_grid.zi,
+                          jnp.float32)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(1905, state)
+    ckpt.wait()
+    assert ckpt.latest_year() == 1905
+    year, restored = ckpt.restore(state)
+    assert year == 1905
+    np.testing.assert_array_equal(np.asarray(restored.soil.h2osoi_liq),
+                                  np.asarray(state.soil.h2osoi_liq))
+    np.testing.assert_array_equal(np.asarray(restored.veg.lai),
+                                  np.asarray(state.veg.lai))
+    ckpt.close()
