@@ -1,0 +1,130 @@
+"""Command-line interface.
+
+Replaces the reference's driver.txt + slurm_submit launch path
+(EXECUTE/driver.txt; EXECUTE/slurm_submit) with a proper CLI:
+
+    python -m hybrid9_tpu run   --config run.json [--years 1901 1910]
+    python -m hybrid9_tpu site  --csv-out site.csv [--spinup 10]
+    python -m hybrid9_tpu info
+
+Multi-host TPU runs launch the same command on every host (one process
+per host); `parallel.initialize_distributed` picks up the standard JAX
+cluster environment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    import jax
+
+    from .config import Config
+    from .data.forcing import (PrefetchingProvider,
+                               SyntheticForcingProvider)
+    from .data.soil import load_soil
+    from .io.writer import AnnualWriter
+    from .parallel.launch import initialize_distributed
+    from .parallel.sharding import CellSharding
+    from .run import Simulation
+
+    initialize_distributed()
+    if args.config:
+        cfg = Config.from_json(open(args.config).read())
+    else:
+        cfg = Config()
+    if args.years:
+        cfg = Config(**{**cfg.__dict__, "start_year": args.years[0],
+                        "end_year": args.years[1]})
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+
+    grid, params = load_soil(cfg)
+    sharding = CellSharding.create() if args.shard else None
+    if sharding is not None:
+        sharding.check_divisible(grid.n_padded)
+    provider = PrefetchingProvider(SyntheticForcingProvider(
+        grid.n_padded, seed=0, lat=grid.cell_lat))
+    if cfg.forcing == "pgf" and cfg.forcing_path:
+        from .data.forcing import NetCDFForcingProvider
+        provider = PrefetchingProvider(NetCDFForcingProvider(
+            cfg.forcing_path, grid))
+
+    sim = Simulation(cfg, params, sharding=sharding)
+    writer = AnnualWriter(cfg.output_path, grid) if cfg.write_annual \
+        else None
+    checkpointer = None
+    if cfg.checkpoint_every_years:
+        from .io.checkpoint import Checkpointer
+        checkpointer = Checkpointer(cfg.checkpoint_path)
+    sim.run(provider, writer=writer, checkpointer=checkpointer)
+    return 0
+
+
+def cmd_site(args: argparse.Namespace) -> int:
+    from .config import Config
+    from .site import read_site_climate_csv, run_site
+
+    cfg = Config(spinup_years=args.spinup, nisurf=args.nisurf)
+    climate = None
+    if args.climate:
+        climate = read_site_climate_csv(args.climate)
+    result = run_site(cfg, climate=climate, csv_out=args.csv_out)
+    worst = max(r["max_residual"] for r in result.daily)
+    log.info("site run done: %d days, final LAI %.3f, "
+             "max|residual| %.3g mm", len(result.daily),
+             result.state.lai, worst)
+    return 0
+
+
+def cmd_info(args: argparse.Namespace) -> int:
+    import jax
+
+    from . import __version__
+    print(f"hybrid9-tpu {__version__}")
+    print(f"jax {jax.__version__}, backend {jax.default_backend()}, "
+          f"{jax.device_count()} device(s)")
+    for d in jax.devices():
+        print(f"  {d}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="hybrid9_tpu",
+                                description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("run", help="global simulation")
+    pr.add_argument("--config", help="Config JSON file")
+    pr.add_argument("--years", nargs=2, type=int, metavar=("S", "E"))
+    pr.add_argument("--shard", action="store_true",
+                    help="shard cells over all local devices")
+    pr.add_argument("--cache-dir", default=".jax_cache",
+                    help="persistent XLA compilation cache")
+    pr.set_defaults(fn=cmd_run)
+
+    ps = sub.add_parser("site", help="single-column site simulation")
+    ps.add_argument("--climate", help="daily climate CSV")
+    ps.add_argument("--csv-out", default="site_daily.csv")
+    ps.add_argument("--spinup", type=int, default=0)
+    ps.add_argument("--nisurf", type=int, default=48)
+    ps.set_defaults(fn=cmd_site)
+
+    pi = sub.add_parser("info", help="version and device info")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

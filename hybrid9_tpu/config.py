@@ -25,6 +25,38 @@ CANONICAL_ZI_MM: Tuple[float, ...] = (
 )
 
 
+def exponential_interfaces(n_soil: int, z_bottom_mm: float = 2296.0,
+                           z_aquifer_mm: float = 5000.0,
+                           top_dz_mm: float = 20.0) -> Tuple[float, ...]:
+    """Geometrically growing soil-interface depths for ``n_soil`` layers.
+
+    Generalises the reference's hand-tuned 8-layer grid to arbitrary layer
+    counts (e.g. the 20-layer single-column configuration): layer
+    thicknesses grow geometrically from ``top_dz_mm`` so the soil column
+    bottoms out at ``z_bottom_mm``, with one final interface at
+    ``z_aquifer_mm`` forming the aquifer layer.
+    """
+    import numpy as _np
+
+    def total(r: float) -> float:
+        if abs(r - 1.0) < 1e-12:
+            return top_dz_mm * n_soil
+        return top_dz_mm * (r ** n_soil - 1.0) / (r - 1.0)
+
+    lo, hi = 1.0, 4.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if total(mid) < z_bottom_mm:
+            lo = mid
+        else:
+            hi = mid
+    r = 0.5 * (lo + hi)
+    dz = top_dz_mm * r ** _np.arange(n_soil)
+    zi = _np.concatenate([[0.0], _np.cumsum(dz)])
+    zi[-1] = z_bottom_mm
+    return tuple(float(z) for z in zi) + (float(z_aquifer_mm),)
+
+
 @dataclasses.dataclass(frozen=True)
 class LayerGrid:
     """Vertical layer geometry derived from interface depths.

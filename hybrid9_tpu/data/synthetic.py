@@ -18,7 +18,8 @@ from ..physics import constants as c
 
 
 def synthetic_soil_params(n: int, seed: int = 0,
-                          lat: np.ndarray | None = None) -> dict:
+                          lat: np.ndarray | None = None,
+                          n_layers: int = c.NSOIL_LAYERS) -> dict:
     """Per-cell soil properties with CLM-like vertical structure.
 
     Returns a dict of float64 NumPy arrays matching SoilParams fields.
@@ -26,7 +27,7 @@ def synthetic_soil_params(n: int, seed: int = 0,
     (INIT.f90:707-726).
     """
     rng = np.random.RandomState(seed)
-    nl = c.NSOIL_LAYERS
+    nl = n_layers
     depth_frac = np.linspace(0.0, 1.0, nl)[None, :]    # 0 at surface
 
     # Texture-like latent variable per cell in [0, 1] (0 = sand, 1 = clay).

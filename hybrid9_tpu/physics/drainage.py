@@ -9,14 +9,16 @@ The reference's data-dependent layer walks with early EXITs
 (HYDROLOGY.f90:961-994, 1075-1098, 1183-1198) become fixed 8-iteration
 sweeps with per-cell "active" masks — each iteration is a fused elementwise
 op over all cells, and a cell's lane simply stops changing once its walk
-would have exited.  Semantics match the column oracle exactly, including
-the reference's quirks (the stale ``zwtmm`` used inside the walks, and jwt
-NOT being recomputed after the below-column recharge branch).
+would have exited.  Per-layer water is a Python list of ``[n]`` arrays
+(layers.py), so the whole phase is scatter-free elementwise work.
+Semantics match the column oracle exactly, including the reference's
+quirks (the stale ``zwtmm`` used inside the walks, and jwt NOT being
+recomputed after the below-column recharge branch).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import List, NamedTuple
 
 import jax.numpy as jnp
 
@@ -25,12 +27,12 @@ from .soilwater import water_table_index
 
 
 class DrainageResult(NamedTuple):
-    h2osoi: jnp.ndarray        # [n, 8] layer water after fix-ups     (mm)
-    zwt: jnp.ndarray           # [n] water table depth                 (m)
-    wa: jnp.ndarray            # [n] aquifer store                    (mm)
-    rsub_top: jnp.ndarray      # [n] topographic baseflow           (mm/s)
+    h2osoi: List[jnp.ndarray]   # 8 x [n] layer water after fix-ups   (mm)
+    zwt: jnp.ndarray            # [n] water table depth                (m)
+    wa: jnp.ndarray             # [n] aquifer store                   (mm)
+    rsub_top: jnp.ndarray       # [n] topographic baseflow          (mm/s)
     qflx_rsub_sat: jnp.ndarray  # [n] saturation-excess drainage    (mm/s)
-    rnff: jnp.ndarray          # [n, 9] per-layer drainage diagnostic
+    rnff: List[jnp.ndarray]     # 9 x [n] per-layer drainage diagnostic
 
 
 def _specific_yield(theta_s_l: jnp.ndarray, psi_s_l: jnp.ndarray,
@@ -38,29 +40,27 @@ def _specific_yield(theta_s_l: jnp.ndarray, psi_s_l: jnp.ndarray,
     """Analytical specific yield, floored at 0.02.
 
     Reference: HYDROLOGY.f90:937-941 and the per-layer uses inside the
-    walks.  The power base can only go non-positive for (unphysical)
-    water tables above the surface by more than |psi_s|; lanes are kept
-    finite the same way the reference's REAL arithmetic is.
+    walks.
     """
     s_y = theta_s_l * (1.0 - (1.0 + zwtmm / (-psi_s_l)) ** (-1.0 / bsw_l))
     return jnp.maximum(s_y, 0.02)
 
 
-def drainage(h2osoi: jnp.ndarray, zwt: jnp.ndarray, wa: jnp.ndarray,
-             qcharge: jnp.ndarray, theta_s: jnp.ndarray,
-             psi_s: jnp.ndarray, bsw: jnp.ndarray,
-             eff_porosity: jnp.ndarray, zi: jnp.ndarray,
+def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
+             qcharge: jnp.ndarray, theta_s: List[jnp.ndarray],
+             psi_s: List[jnp.ndarray], bsw: List[jnp.ndarray],
+             eff_porosity: List[jnp.ndarray], zi: jnp.ndarray,
              dz_soil: jnp.ndarray, dt: float) -> DrainageResult:
     """Drainage phase for all cells; returns updated state and fluxes."""
-    nl = c.NSOIL_LAYERS
-    dtype = h2osoi.dtype
+    nl = len(h2osoi)
+    h = list(h2osoi)
 
     # --- Water-table response to recharge (HYDROLOGY.f90:920-1009) -------
     zwtmm = 1000.0 * zwt                       # stale during the walks
     jwt = water_table_index(zwt, zi)
     below = jwt == nl
     in_col = jnp.logical_not(below)
-    rous = _specific_yield(theta_s[:, -1], psi_s[:, -1], bsw[:, -1], zwtmm)
+    rous = _specific_yield(theta_s[-1], psi_s[-1], bsw[-1], zwtmm)
 
     # Below the column: recharge moves the aquifer store directly.
     wa_b = wa + qcharge * dt
@@ -77,7 +77,7 @@ def drainage(h2osoi: jnp.ndarray, zwt: jnp.ndarray, wa: jnp.ndarray,
     rem = jnp.where(rising, qtot, 0.0)
     for i in range(nl - 1, -1, -1):
         act = rising & (i <= jwt) & (rem > 0.0)
-        s_y = _specific_yield(theta_s[:, i], psi_s[:, i], bsw[:, i], zwtmm)
+        s_y = _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
         ql = jnp.maximum(jnp.minimum(rem, s_y * (zwtmm - zi[i])), 0.0)
         zwt_w = jnp.where(act, zwt_w - ql / s_y / 1000.0, zwt_w)
         rem = jnp.where(act, rem - ql, rem)
@@ -86,8 +86,9 @@ def drainage(h2osoi: jnp.ndarray, zwt: jnp.ndarray, wa: jnp.ndarray,
     rem_f = jnp.where(falling, qtot, 0.0)
     for i in range(nl):
         act = falling & (i >= jwt) & (rem_f < 0.0)
-        s_y = _specific_yield(theta_s[:, i], psi_s[:, i], bsw[:, i], zwtmm)
-        ql = jnp.minimum(jnp.maximum(rem_f, -s_y * (zi[i + 1] - zwtmm)), 0.0)
+        s_y = _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
+        ql = jnp.minimum(jnp.maximum(rem_f, -s_y * (zi[i + 1] - zwtmm)),
+                         0.0)
         rem_new = rem_f - ql
         zwt_w = jnp.where(
             act,
@@ -109,20 +110,20 @@ def drainage(h2osoi: jnp.ndarray, zwt: jnp.ndarray, wa: jnp.ndarray,
     # --- Baseflow (HYDROLOGY.f90:1013-1123) -------------------------------
     zwtmm1 = 1000.0 * zwt1
     rsub_top = c.RSUB_TOP_MAX * jnp.exp(-c.FFF * zwt1)
-    rous1 = _specific_yield(theta_s[:, -1], psi_s[:, -1], bsw[:, -1],
-                            zwtmm1)
+    rous1 = _specific_yield(theta_s[-1], psi_s[-1], bsw[-1], zwtmm1)
     below1 = jwt1 == nl
     in_col1 = jnp.logical_not(below1)
-    rnff = jnp.zeros((h2osoi.shape[0], nl + 1), dtype)
+    zero = jnp.zeros_like(zwt)
+    rnff: List[jnp.ndarray] = [zero] * (nl + 1)
 
     # Below the column: drain the aquifer; spill any excess over 5000 mm
     # into the bottom soil layer.
     wa_tmp = wa1 - rsub_top * dt
     zwt_b1 = zwt1 + (rsub_top * dt) / 1000.0 / rous1
     spill = jnp.maximum(0.0, wa_tmp - 5000.0)
-    h2osoi = h2osoi.at[:, nl - 1].add(jnp.where(below1, spill, 0.0))
+    h[nl - 1] = h[nl - 1] + jnp.where(below1, spill, 0.0)
     wa_b1 = jnp.minimum(wa_tmp, 5000.0)
-    rnff = rnff.at[:, nl].set(jnp.where(below1, rsub_top, 0.0))
+    rnff[nl] = jnp.where(below1, rsub_top, 0.0)
 
     # Inside the column: remove baseflow from saturated layers, walking
     # down with an activity mask (HYDROLOGY.f90:1064-1103).
@@ -130,12 +131,11 @@ def drainage(h2osoi: jnp.ndarray, zwt: jnp.ndarray, wa: jnp.ndarray,
     zwt_w1 = zwt1
     for i in range(nl):
         act = in_col1 & (i >= jwt1) & (rem_b < 0.0)
-        s_y = _specific_yield(theta_s[:, i], psi_s[:, i], bsw[:, i],
-                              zwtmm1)
+        s_y = _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm1)
         ql = jnp.minimum(jnp.maximum(rem_b, -(s_y * (zi[i + 1] - zwtmm1))),
                          0.0)
-        h2osoi = h2osoi.at[:, i].add(jnp.where(act, ql, 0.0))
-        rnff = rnff.at[:, i].set(jnp.where(act, -ql, rnff[:, i]))
+        h[i] = h[i] + jnp.where(act, ql, 0.0)
+        rnff[i] = jnp.where(act, -ql, rnff[i])
         rem_new = rem_b - ql
         zwt_w1 = jnp.where(
             act,
@@ -146,7 +146,7 @@ def drainage(h2osoi: jnp.ndarray, zwt: jnp.ndarray, wa: jnp.ndarray,
     # Residual baseflow comes out of the aquifer (HYDROLOGY.f90:1100-1102).
     zwt_w1 = jnp.where(in_col1, zwt_w1 - rem_b / 1000.0 / rous1, zwt_w1)
     wa2 = jnp.where(below1, wa_b1, wa1 + rem_b)
-    rnff = rnff.at[:, nl].add(jnp.where(in_col1, -rem_b, 0.0))
+    rnff[nl] = rnff[nl] + jnp.where(in_col1, -rem_b, 0.0)
 
     zwt2 = jnp.where(below1, zwt_b1, zwt_w1)
     jwt2 = jnp.where(below1, jwt1, water_table_index(zwt2, zi))
@@ -157,43 +157,42 @@ def drainage(h2osoi: jnp.ndarray, zwt: jnp.ndarray, wa: jnp.ndarray,
     # --- Saturation-excess bucket cascade, bottom-up
     # (HYDROLOGY.f90:1131-1137).
     for i in range(nl - 1, 0, -1):
-        cap = eff_porosity[:, i] * dz_soil[i]
-        xsi = jnp.maximum(h2osoi[:, i] - cap, 0.0)
-        h2osoi = h2osoi.at[:, i].set(jnp.minimum(cap, h2osoi[:, i]))
-        h2osoi = h2osoi.at[:, i - 1].add(xsi)
+        cap = eff_porosity[i] * dz_soil[i]
+        xsi = jnp.maximum(h[i] - cap, 0.0)
+        h[i] = jnp.minimum(cap, h[i])
+        h[i - 1] = h[i - 1] + xsi
 
     # Top-layer excess to drainage (HYDROLOGY.f90:1144-1152).
-    cap0 = jnp.maximum(0.0, theta_s[:, 0] * dz_soil[0])
-    xs1 = jnp.maximum(jnp.maximum(h2osoi[:, 0], 0.0) - cap0, 0.0)
-    h2osoi = h2osoi.at[:, 0].set(jnp.minimum(cap0, h2osoi[:, 0]))
+    cap0 = jnp.maximum(0.0, theta_s[0] * dz_soil[0])
+    xs1 = jnp.maximum(jnp.maximum(h[0], 0.0) - cap0, 0.0)
+    h[0] = jnp.minimum(cap0, h[0])
     qflx_rsub_sat = xs1 / dt
 
     # --- watmin floor: borrow from the layer below
     # (HYDROLOGY.f90:1161-1174).  Fortran layer number i+1 vs jwt.
     for i in range(nl - 1):
-        short = h2osoi[:, i] < c.WATMIN
-        xs = jnp.where(short, c.WATMIN - h2osoi[:, i], 0.0)
+        short = h[i] < c.WATMIN
+        xs = jnp.where(short, c.WATMIN - h[i], 0.0)
         zwt2 = zwt2 + jnp.where(short & (jwt2 == i + 1),
-                                xs / eff_porosity[:, i] / 1000.0, 0.0)
-        h2osoi = h2osoi.at[:, i].add(xs)
-        h2osoi = h2osoi.at[:, i + 1].add(-xs)
+                                xs / eff_porosity[i] / 1000.0, 0.0)
+        h[i] = h[i] + xs
+        h[i + 1] = h[i + 1] - xs
 
     # --- Bottom layer: search upward for water
     # (HYDROLOGY.f90:1180-1211).  take = min(xs, available) reproduces the
     # move-and-exit semantics of the reference loop.
-    xs = jnp.where(h2osoi[:, nl - 1] < c.WATMIN,
-                   c.WATMIN - h2osoi[:, nl - 1], 0.0)
+    xs = jnp.where(h[nl - 1] < c.WATMIN, c.WATMIN - h[nl - 1], 0.0)
     for j in range(nl - 2, -1, -1):
-        avail = jnp.maximum(h2osoi[:, j] - c.WATMIN - xs, 0.0)
+        avail = jnp.maximum(h[j] - c.WATMIN - xs, 0.0)
         take = jnp.minimum(xs, avail)
-        h2osoi = h2osoi.at[:, nl - 1].add(take)
-        h2osoi = h2osoi.at[:, j].add(-take)
+        h[nl - 1] = h[nl - 1] + take
+        h[j] = h[j] - take
         xs = xs - take
     # Any un-met deficit is created and taken back out of drainage
     # (HYDROLOGY.f90:1204-1211).
-    h2osoi = h2osoi.at[:, nl - 1].add(xs)
+    h[nl - 1] = h[nl - 1] + xs
     rsub_top = rsub_top - xs / dt
 
-    return DrainageResult(h2osoi=h2osoi, zwt=zwt2, wa=wa2,
+    return DrainageResult(h2osoi=h, zwt=zwt2, wa=wa2,
                           rsub_top=rsub_top, qflx_rsub_sat=qflx_rsub_sat,
                           rnff=rnff)

@@ -8,7 +8,7 @@ Must agree with ``reference_column.hydrology_substep``'s ET stage.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict, List, NamedTuple
 
 import jax.numpy as jnp
 
@@ -42,20 +42,21 @@ def air_state(fd: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return dict(rho=rho, desatdT=desatdT, vdd=vdd, gamma=gamma)
 
 
-def dual_source_et(theta: jnp.ndarray, theta_s: jnp.ndarray,
-                   smp_prev: jnp.ndarray, rootr: jnp.ndarray,
+def dual_source_et(theta: List[jnp.ndarray], theta_s: List[jnp.ndarray],
+                   smp_prev: List[jnp.ndarray],
+                   rootr: List[jnp.ndarray],
                    lai: jnp.ndarray, lai_litter: jnp.ndarray,
-                   zc_soil: jnp.ndarray, dz0: float, dt: float,
+                   zc_soil: jnp.ndarray, dz0, dt: float,
                    fd: Dict[str, jnp.ndarray]) -> ETResult:
     """Dual-source ET with stomatal stress and top-layer supply limit.
 
     Args:
-      theta: ``[n, 8]`` volumetric water at substep start.
-      theta_s: ``[n, 8]`` saturated volumetric water.
-      smp_prev: ``[n, 8]`` matric potential carried from the previous
+      theta: 8 x ``[n]`` volumetric water at substep start.
+      theta_s: 8 x ``[n]`` saturated volumetric water.
+      smp_prev: 8 x ``[n]`` matric potential carried from the previous
         substep (the reference's cross-step ``smp`` carry,
         HYDROLOGY.f90:271).
-      rootr: ``[n, 8]`` root fraction per layer.
+      rootr: 8 x ``[n]`` root fraction per layer.
       lai, lai_litter: ``[n]`` canopy / litter leaf area.
       zc_soil: ``[8]`` static node depths (mm).
       dz0: top-layer thickness (mm).
@@ -66,8 +67,11 @@ def dual_source_et(theta: jnp.ndarray, theta_s: jnp.ndarray,
     rho, desatdT, vdd, gamma = a["rho"], a["desatdT"], a["vdd"], a["gamma"]
 
     # Root-weighted stomatal water stress (HYDROLOGY.f90:269-276).
-    beta_l = 1.0 - (smp_prev - zc_soil[None, :]) / (-150000.0)
-    beta = jnp.sum(rootr * jnp.clip(beta_l, 0.0, 1.0), axis=-1)
+    beta = None
+    for i in range(len(rootr)):
+        beta_l = 1.0 - (smp_prev[i] - zc_soil[i]) / (-150000.0)
+        term = rootr[i] * jnp.clip(beta_l, 0.0, 1.0)
+        beta = term if beta is None else beta + term
 
     # Canopy stomatal resistance (Shuttleworth Eqn 20 family;
     # HYDROLOGY.f90:283-295).  Guarded against the LAI/beta/PAR = 0 case.
@@ -98,12 +102,12 @@ def dual_source_et(theta: jnp.ndarray, theta_s: jnp.ndarray,
 
     # Substrate resistance (van de Griend & Owe 1994 Eqn 20;
     # HYDROLOGY.f90:325-331).
-    th0 = theta[:, 0]
+    th0 = theta[0]
     rss = jnp.where(
         th0 <= 0.15,
         (10.0 + 1000.0 * lai_litter)
         * jnp.exp(0.3563 * 100.0 * (0.15 - th0)),
-        10.0 + 1000.0 * lai_litter * (1.0 - th0 / theta_s[:, 0]))
+        10.0 + 1000.0 * lai_litter * (1.0 - th0 / theta_s[0]))
 
     # Dual-source Penman-Monteith (SW85 Eqns 12-13, 21;
     # HYDROLOGY.f90:335-389).
@@ -136,7 +140,7 @@ def dual_source_et(theta: jnp.ndarray, theta_s: jnp.ndarray,
     # Limit substrate evaporation to available top-layer water
     # (HYDROLOGY.f90:396-400); reference compares volumetric theta to the
     # watmin constant, reproduced as-is.
-    evap_max1 = dz0 * (th0 - c.WATMIN) / dt - qflx_tran_veg * rootr[:, 0]
+    evap_max1 = dz0 * (th0 - c.WATMIN) / dt - qflx_tran_veg * rootr[0]
     evap_max1 = jnp.maximum(0.0, evap_max1)
     qflx_evap_grnd = jnp.minimum(evap_max1, qflx_evap_grnd)
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from . import constants as c
 from .drainage import drainage
 from .et import dual_source_et
+from .layers import stack, unstack
 from .soilwater import soil_water_update
 from ..state import Forcing, SoilState, SubstepFluxes, VegState
 
@@ -38,7 +39,7 @@ class Geometry(NamedTuple):
 
     @classmethod
     def from_layer_grid(cls, grid, dtype=jnp.float32) -> "Geometry":
-        nl = c.NSOIL_LAYERS
+        nl = grid.nsoil
         return cls(
             zi=jnp.asarray(grid.zi, dtype),
             dz_soil=jnp.asarray(grid.dz[:nl], dtype),
@@ -70,12 +71,22 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
     from :func:`derive_forcing` (computed once per day, reused across the
     48 substeps).
     """
-    nl = c.NSOIL_LAYERS
+    nl = soil.h2osoi_liq.shape[1]
     dz = geom.dz_soil
 
-    # Opening balance and volumetric water (HYDROLOGY.f90:141-151).
-    w0 = fd["forc_rain"] * dt + soil.wa + jnp.sum(soil.h2osoi_liq, axis=-1)
-    theta = soil.h2osoi_liq / (dz[None, :] * c.RHOW / 1.0e3)
+    # Per-layer fields as lists of [n] slices (layers.py): everything
+    # downstream is scatter/gather-free elementwise work.
+    h = unstack(soil.h2osoi_liq)
+    theta = [h[i] / (dz[i] * c.RHOW / 1.0e3) for i in range(nl)]
+    p_theta_s = unstack(params.theta_s)
+    p_hksat = unstack(params.hksat)
+    p_psi_s = unstack(params.psi_s)
+    p_bsw = unstack(params.bsw)
+    rootr = unstack(veg.rootr)
+    smp_prev = unstack(soil.smp)
+
+    # Opening balance (HYDROLOGY.f90:141-151).
+    w0 = fd["forc_rain"] * dt + soil.wa + sum(h)
 
     # CESM SurfaceRunoff: TOPMODEL saturated fraction
     # (HYDROLOGY.f90:178-213).
@@ -84,14 +95,15 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
     qflx_surf = fsat * qflx_top_soil
 
     # Dual-source ET (HYDROLOGY.f90:228-418).
-    et = dual_source_et(theta, params.theta_s, soil.smp, veg.rootr,
+    et = dual_source_et(theta, p_theta_s, smp_prev, rootr,
                         veg.lai, veg.lai_litter, geom.zc_soil,
                         dz[0], dt, fd)
 
     # CESM Infiltration (HYDROLOGY.f90:426-478).
-    eff_porosity = jnp.maximum(0.01, params.theta_s)
+    eff_porosity = [jnp.maximum(0.01, ts) for ts in p_theta_s]
     qflx_in_soil = (qflx_top_soil - qflx_surf) - et.qflx_evap_grnd
-    qinmax = (1.0 - fsat) * jnp.min(params.hksat[:, 0:3], axis=-1)
+    qinmax = (1.0 - fsat) * jnp.minimum(
+        jnp.minimum(p_hksat[0], p_hksat[1]), p_hksat[2])
     qflx_infl_excess = jnp.maximum(0.0, qflx_in_soil - qinmax)
     qflx_infl = qflx_in_soil - qflx_infl_excess
     qflx_surf = qflx_surf + qflx_infl_excess
@@ -99,27 +111,25 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
     # CESM SoilWater: implicit vertical step + recharge
     # (HYDROLOGY.f90:485-909).
     sw = soil_water_update(
-        soil.h2osoi_liq, theta, soil.zwt, params.theta_s, params.hksat,
-        params.psi_s, params.bsw, qflx_infl, et.qflx_tran_veg, veg.rootr,
-        geom.zi, dz, geom.zc_soil, dt)
+        h, theta, soil.zwt, p_theta_s, p_hksat, p_psi_s, p_bsw,
+        qflx_infl, et.qflx_tran_veg, rootr, geom.zi, dz, geom.zc_soil, dt)
 
     # CESM Drainage: water table, baseflow, fix-ups
     # (HYDROLOGY.f90:911-1216).
     dr = drainage(sw.h2osoi, soil.zwt, soil.wa, sw.qcharge,
-                  params.theta_s, params.psi_s, params.bsw, eff_porosity,
+                  p_theta_s, p_psi_s, p_bsw, eff_porosity,
                   geom.zi, dz, dt)
 
     # Conservation residual (HYDROLOGY.f90:1221-1274) as a diagnostic.
     w1 = (qflx_surf + et.qflx_evap_grnd + et.qflx_tran_veg
-          + dr.rsub_top + dr.qflx_rsub_sat) * dt + dr.wa \
-        + jnp.sum(dr.h2osoi, axis=-1)
+          + dr.rsub_top + dr.qflx_rsub_sat) * dt + dr.wa + sum(dr.h2osoi)
     residual = w1 - w0
 
     new_soil = SoilState(
-        h2osoi_liq=dr.h2osoi,
+        h2osoi_liq=stack(dr.h2osoi),
         zwt=dr.zwt,
         wa=dr.wa,
-        smp=sw.smp,
+        smp=stack(sw.smp),
         h2osoi_liq_ma=soil.h2osoi_liq_ma,
     )
     fluxes = SubstepFluxes(
@@ -129,7 +139,7 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
         rsub_top=dr.rsub_top,
         qflx_rsub_sat=dr.qflx_rsub_sat,
         qcharge=sw.qcharge,
-        rnff=dr.rnff,
+        rnff=stack(dr.rnff),
         residual=residual,
     )
     return new_soil, fluxes

@@ -102,7 +102,7 @@ def hydrology_substep(state: ColumnState, p: ColumnParams,
     Returns a dict of diagnostic fluxes including the water-balance
     residual ``w1 - w0`` (mm).
     """
-    nl = c.NSOIL_LAYERS          # 8 active layers, 0-based indices 0..7
+    nl = len(p.theta_s)          # active soil layers (8 in the reference)
     h = state.h2osoi
     dz = dz.copy()
     zc = zc.copy()
@@ -559,7 +559,7 @@ def grow_daily(state: ColumnState, tas: float, zi: np.ndarray
 
     Returns diagnostics including daily NPP (g DM/day).
     """
-    nl = c.NSOIL_LAYERS
+    nl = len(state.smp)
 
     # Soil-moisture growth constraint, root-weighted ramp on smp between
     # -150,000 and -50,000 mm (CESM Eqn 8.27 analog; GROW.f90:55-62).

@@ -9,7 +9,9 @@ tiny) while the cell axis stays vectorized on the VPU.
 
 All branches of the reference become ``jnp.where`` selects; potentially
 invalid lanes are fed safe operands so no NaN/Inf contaminates the selected
-branch.
+branch.  Per-layer fields are Python lists of ``[n]`` arrays (see
+layers.py) so the whole phase is pure elementwise work that XLA fuses into
+a few VPU kernels.
 """
 
 from __future__ import annotations
@@ -19,14 +21,15 @@ from typing import List, NamedTuple, Tuple
 import jax.numpy as jnp
 
 from . import constants as c
+from .layers import select_layer, stack, unstack
 
 
 class SoilWaterResult(NamedTuple):
-    h2osoi: jnp.ndarray    # [n, 8] updated layer water              (mm)
-    smp: jnp.ndarray       # [n, 8] matric potential (for carry)     (mm)
-    qcharge: jnp.ndarray   # [n] aquifer recharge                  (mm/s)
-    jwt: jnp.ndarray       # [n] int32 first-unsaturated-layer index  (-)
-    dwat_aq: jnp.ndarray   # [n] aquifer-layer solution increment     (-)
+    h2osoi: List[jnp.ndarray]   # 8 x [n] updated layer water         (mm)
+    smp: List[jnp.ndarray]      # 8 x [n] matric potential (carry)    (mm)
+    qcharge: jnp.ndarray        # [n] aquifer recharge              (mm/s)
+    jwt: jnp.ndarray            # [n] int32 first-unsaturated index    (-)
+    dwat_aq: jnp.ndarray        # [n] aquifer-layer solution increment (-)
 
 
 def water_table_index(zwt: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
@@ -34,62 +37,63 @@ def water_table_index(zwt: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
 
     0 when the table is in the top layer, 8 when below the column.
     Vectorized form of the scan at HYDROLOGY.f90:499-508: jwt is the count
-    of interfaces zi(1..8) with ``zwt > zi/1000``.
+    of interfaces zi(1..8) with ``zwt > zi/1000``.  Unrolled sum of
+    elementwise compares (no reductions over a strided axis).
     """
-    above = zwt[:, None] > (zi[None, 1:c.NSOIL_LAYERS + 1] / 1000.0)
-    return jnp.sum(above, axis=-1).astype(jnp.int32)
+    jwt = None
+    for i in range(1, zi.shape[0] - 1):
+        above = (zwt > zi[i] / 1000.0).astype(jnp.int32)
+        jwt = above if jwt is None else jwt + above
+    return jwt
 
 
 def _equilibrium_profile(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
-                         theta_s: jnp.ndarray, psi_s: jnp.ndarray,
-                         bsw: jnp.ndarray, zi: jnp.ndarray
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Zeng & Decker (2009) equilibrium water content and potential.
+                         theta_s: List[jnp.ndarray],
+                         psi_s: List[jnp.ndarray], bsw: List[jnp.ndarray],
+                         zi: jnp.ndarray) -> List[jnp.ndarray]:
+    """Zeng & Decker (2009) equilibrium potential ``zq`` per layer.
 
-    Returns ``(vol_eq, zq)`` with shape ``[n, 9]`` (index 8 = virtual
-    aquifer layer, valid only where jwt == 8).
-    Reference: HYDROLOGY.f90:512-590.
+    Returns a list of nl+1 ``[n]`` arrays (last = virtual aquifer layer,
+    valid only where jwt == nl).  Reference: HYDROLOGY.f90:512-590.
     """
-    nl = c.NSOIL_LAYERS
-    zlo = zi[None, :nl]          # [1, 8] upper interface of each layer
-    zhi = zi[None, 1:nl + 1]     # [1, 8] lower interface
-    zw = zwtmm[:, None]
+    nl = len(theta_s)
+    zq: List[jnp.ndarray] = []
+    for i in range(nl):
+        ts, ps, bs = theta_s[i], psi_s[i], bsw[i]
+        zlo, zhi = zi[i], zi[i + 1]
+        mask_sat = zwtmm <= zlo
+        mask_in = (zwtmm < zhi) & (zwtmm > zlo)
+        mask_below = jnp.logical_not(mask_sat | mask_in)
+        expo = 1.0 - 1.0 / bs
+        neg_psi = -ps
 
-    mask_sat = zw <= zlo                      # table above layer: saturated
-    mask_in = (zw < zhi) & (zw > zlo)         # table inside layer
-    # else: table below layer.
+        # Table inside the layer: blend saturated part below the table
+        # with the equilibrium solution above it.
+        base_in = jnp.where(mask_in, (neg_psi + zwtmm - zlo) / neg_psi, 1.0)
+        temp0_in = base_in ** expo
+        den_in = jnp.where(mask_in, zwtmm - zlo, 1.0)
+        voleq1 = ps * ts / (1.0 - 1.0 / bs) / den_in * (1.0 - temp0_in)
+        vol_in = (voleq1 * (zwtmm - zlo) + ts * (zhi - zwtmm)) \
+            / (zhi - zlo)
+        vol_in = jnp.maximum(jnp.minimum(ts, vol_in), 0.0)
 
-    expo = 1.0 - 1.0 / bsw
-    neg_psi = -psi_s
+        # Table below the layer: closed-form layer average.
+        base_hi = jnp.where(mask_below,
+                            (neg_psi + zwtmm - zhi) / neg_psi, 1.0)
+        base_lo = jnp.where(mask_below,
+                            (neg_psi + zwtmm - zlo) / neg_psi, 1.0)
+        vol_below = ps * ts / (1.0 - 1.0 / bs) / (zhi - zlo) \
+            * (base_hi ** expo - base_lo ** expo)
+        vol_below = jnp.minimum(ts, jnp.maximum(vol_below, 0.0))
 
-    # Table inside the layer: blend saturated part below the table with the
-    # equilibrium solution above it.
-    base_in = jnp.where(mask_in, (neg_psi + zw - zlo) / neg_psi, 1.0)
-    temp0_in = base_in ** expo
-    den_in = jnp.where(mask_in, zw - zlo, 1.0)
-    voleq1 = psi_s * theta_s / (1.0 - 1.0 / bsw) / den_in * (1.0 - temp0_in)
-    vol_in = (voleq1 * (zw - zlo) + theta_s * (zhi - zw)) / (zhi - zlo)
-    vol_in = jnp.maximum(jnp.minimum(theta_s, vol_in), 0.0)
-
-    # Table below the layer: closed-form layer average of the equilibrium
-    # profile.
-    mask_below = jnp.logical_not(mask_sat | mask_in)
-    base_hi = jnp.where(mask_below, (neg_psi + zw - zhi) / neg_psi, 1.0)
-    base_lo = jnp.where(mask_below, (neg_psi + zw - zlo) / neg_psi, 1.0)
-    tempi_b = base_hi ** expo
-    temp0_b = base_lo ** expo
-    vol_below = psi_s * theta_s / (1.0 - 1.0 / bsw) / (zhi - zlo) \
-        * (tempi_b - temp0_b)
-    vol_below = jnp.minimum(theta_s, jnp.maximum(vol_below, 0.0))
-
-    vol_eq8 = jnp.where(mask_sat, theta_s,
-                        jnp.where(mask_in, vol_in, vol_below))
-    zq8 = psi_s * jnp.maximum(vol_eq8 / theta_s, 0.01) ** (-bsw)
-    zq8 = jnp.maximum(c.SMPMIN, zq8)
+        vol_eq = jnp.where(mask_sat, ts,
+                           jnp.where(mask_in, vol_in, vol_below))
+        zq_i = ps * jnp.maximum(vol_eq / ts, 0.01) ** (-bs)
+        zq.append(jnp.maximum(c.SMPMIN, zq_i))
 
     # Virtual aquifer layer, only meaningful when the table is below the
     # column (HYDROLOGY.f90:574-590); uses bottom-layer soil properties.
-    tsl, psl, bl = theta_s[:, -1], psi_s[:, -1], bsw[:, -1]
+    tsl, psl, bl = theta_s[-1], psi_s[-1], bsw[-1]
     maskq = jwt == nl
     base_aq = jnp.where(maskq, (-psl + zwtmm - zi[nl]) / (-psl), 1.0)
     temp0_aq = base_aq ** (1.0 - 1.0 / bl)
@@ -98,32 +102,35 @@ def _equilibrium_profile(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
     vol_aq = jnp.minimum(tsl, jnp.maximum(vol_aq, 0.0))
     zq_aq = jnp.maximum(c.SMPMIN,
                         psl * jnp.maximum(vol_aq / tsl, 0.01) ** (-bl))
-    zq_aq = jnp.where(maskq, zq_aq, 0.0)
-
-    vol_eq = jnp.concatenate([vol_eq8, jnp.where(maskq, vol_aq, 0.0)[:, None]],
-                             axis=1)
-    zq = jnp.concatenate([zq8, zq_aq[:, None]], axis=1)
-    return vol_eq, zq
+    zq.append(jnp.where(maskq, zq_aq, 0.0))
+    return zq
 
 
-def _conductivity_and_potential(theta: jnp.ndarray, theta_s: jnp.ndarray,
-                                hksat: jnp.ndarray, psi_s: jnp.ndarray,
-                                bsw: jnp.ndarray):
+def _conductivity_and_potential(theta: List[jnp.ndarray],
+                                theta_s: List[jnp.ndarray],
+                                hksat: List[jnp.ndarray],
+                                psi_s: List[jnp.ndarray],
+                                bsw: List[jnp.ndarray]):
     """Interface conductivity, matric potential and their derivatives.
 
     Reference: HYDROLOGY.f90:598-639 (O13 Eqn 7.94 and neighbours).
-    Returns (hk, dhkdw, smp, dsmpdw), each ``[n, 8]``.
+    Returns (hk, dhkdw, smp, dsmpdw), each a list of nl ``[n]`` arrays.
     """
-    theta_next = jnp.concatenate([theta[:, 1:], theta[:, -1:]], axis=1)
-    ts_next = jnp.concatenate([theta_s[:, 1:], theta_s[:, -1:]], axis=1)
-    s1 = 0.5 * (theta + theta_next) / (0.5 * (theta_s + ts_next))
-    s1 = jnp.minimum(1.0, s1)
-    s2 = hksat * s1 ** (2.0 * bsw + 2.0)
-    hk = s1 * s2
-    dhkdw = (2.0 * bsw + 3.0) * s2 * (1.0 / (theta_s + ts_next))
-    s_node = jnp.clip(theta / theta_s, 0.01, 1.0)
-    smp = jnp.maximum(c.SMPMIN, psi_s * s_node ** (-bsw))
-    dsmpdw = -bsw * smp / (s_node * theta_s)
+    nl = len(theta)
+    hk, dhkdw, smp, dsmpdw = [], [], [], []
+    for i in range(nl):
+        inext = min(nl - 1, i + 1)
+        s1 = 0.5 * (theta[i] + theta[inext]) \
+            / (0.5 * (theta_s[i] + theta_s[inext]))
+        s1 = jnp.minimum(1.0, s1)
+        s2 = hksat[i] * s1 ** (2.0 * bsw[i] + 2.0)
+        hk.append(s1 * s2)
+        dhkdw.append((2.0 * bsw[i] + 3.0) * s2
+                     * (1.0 / (theta_s[i] + theta_s[inext])))
+        s_node = jnp.clip(theta[i] / theta_s[i], 0.01, 1.0)
+        smp_i = jnp.maximum(c.SMPMIN, psi_s[i] * s_node ** (-bsw[i]))
+        smp.append(smp_i)
+        dsmpdw.append(-bsw[i] * smp_i / (s_node * theta_s[i]))
     return hk, dhkdw, smp, dsmpdw
 
 
@@ -150,25 +157,26 @@ def _thomas_solve(a: List[jnp.ndarray], b: List[jnp.ndarray],
     return dw
 
 
-def soil_water_update(h2osoi: jnp.ndarray, theta: jnp.ndarray,
-                      zwt: jnp.ndarray, theta_s: jnp.ndarray,
-                      hksat: jnp.ndarray, psi_s: jnp.ndarray,
-                      bsw: jnp.ndarray, qflx_infl: jnp.ndarray,
-                      qflx_tran_veg: jnp.ndarray, rootr: jnp.ndarray,
-                      zi: jnp.ndarray, dz_soil: jnp.ndarray,
-                      zc_soil: jnp.ndarray, dt: float) -> SoilWaterResult:
+def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
+                      zwt: jnp.ndarray, theta_s: List[jnp.ndarray],
+                      hksat: List[jnp.ndarray], psi_s: List[jnp.ndarray],
+                      bsw: List[jnp.ndarray], qflx_infl: jnp.ndarray,
+                      qflx_tran_veg: jnp.ndarray,
+                      rootr: List[jnp.ndarray], zi: jnp.ndarray,
+                      dz_soil: jnp.ndarray, zc_soil: jnp.ndarray,
+                      dt: float) -> SoilWaterResult:
     """One implicit vertical soil-water step for all cells.
 
-    Args mirror the column oracle; ``zi [10]``, ``dz_soil [8]``,
-    ``zc_soil [8]`` are static geometry (mm).
+    Per-layer args are lists of ``[n]`` arrays; ``zi [10]``,
+    ``dz_soil``, ``zc_soil`` are static geometry (mm).
     """
-    nl = c.NSOIL_LAYERS
+    nl = len(h2osoi)
     zwtmm = 1000.0 * zwt
     jwt = water_table_index(zwt, zi)
     in_col = jwt < nl          # water table inside the soil column
     below = jnp.logical_not(in_col)
 
-    _, zq = _equilibrium_profile(zwtmm, jwt, theta_s, psi_s, bsw, zi)
+    zq = _equilibrium_profile(zwtmm, jwt, theta_s, psi_s, bsw, zi)
     hk, dhkdw, smp, dsmpdw = _conductivity_and_potential(
         theta, theta_s, hksat, psi_s, bsw)
 
@@ -184,12 +192,11 @@ def soil_water_update(h2osoi: jnp.ndarray, theta: jnp.ndarray,
 
     # Top layer.
     den = zc_soil[1] - zc_soil[0]
-    dzq = zq[:, 1] - zq[:, 0]
-    num = (smp[:, 1] - smp[:, 0]) - dzq
-    qout0 = -hk[:, 0] * num / den
-    dqodw1 = -(-hk[:, 0] * dsmpdw[:, 0] + num * dhkdw[:, 0]) / den
-    dqodw2 = -(hk[:, 0] * dsmpdw[:, 1] + num * dhkdw[:, 0]) / den
-    r[0] = qflx_infl - qout0 - qflx_tran_veg * rootr[:, 0]
+    num = (smp[1] - smp[0]) - (zq[1] - zq[0])
+    qout0 = -hk[0] * num / den
+    dqodw1 = -(-hk[0] * dsmpdw[0] + num * dhkdw[0]) / den
+    dqodw2 = -(hk[0] * dsmpdw[1] + num * dhkdw[0]) / den
+    r[0] = qflx_infl - qout0 - qflx_tran_veg * rootr[0]
     a[0] = jnp.zeros_like(qflx_infl)
     b[0] = dz_soil[0] / dt + dqodw1
     cc[0] = dqodw2
@@ -197,22 +204,18 @@ def soil_water_update(h2osoi: jnp.ndarray, theta: jnp.ndarray,
     # Interior layers 2..7 (0-based 1..6).
     for i in range(1, nl - 1):
         den_in = zc_soil[i] - zc_soil[i - 1]
-        dzq_in = zq[:, i] - zq[:, i - 1]
-        num_in = smp[:, i] - smp[:, i - 1] - dzq_in
-        qin_i = -hk[:, i - 1] * num_in / den_in
-        dqidw0 = -(-hk[:, i - 1] * dsmpdw[:, i - 1]
-                   + num_in * dhkdw[:, i - 1]) / den_in
-        dqidw1 = -(hk[:, i - 1] * dsmpdw[:, i]
-                   + num_in * dhkdw[:, i - 1]) / den_in
+        num_in = smp[i] - smp[i - 1] - (zq[i] - zq[i - 1])
+        qin_i = -hk[i - 1] * num_in / den_in
+        dqidw0 = -(-hk[i - 1] * dsmpdw[i - 1]
+                   + num_in * dhkdw[i - 1]) / den_in
+        dqidw1 = -(hk[i - 1] * dsmpdw[i]
+                   + num_in * dhkdw[i - 1]) / den_in
         den_out = zc_soil[i + 1] - zc_soil[i]
-        dzq_out = zq[:, i + 1] - zq[:, i]
-        num_out = (smp[:, i + 1] - smp[:, i]) - dzq_out
-        qout_i = -hk[:, i] * num_out / den_out
-        dqodw1 = -(-hk[:, i] * dsmpdw[:, i]
-                   + num_out * dhkdw[:, i]) / den_out
-        dqodw2 = -(hk[:, i] * dsmpdw[:, i + 1]
-                   + num_out * dhkdw[:, i]) / den_out
-        r[i] = qin_i - qout_i - qflx_tran_veg * rootr[:, i]
+        num_out = (smp[i + 1] - smp[i]) - (zq[i + 1] - zq[i])
+        qout_i = -hk[i] * num_out / den_out
+        dqodw1 = -(-hk[i] * dsmpdw[i] + num_out * dhkdw[i]) / den_out
+        dqodw2 = -(hk[i] * dsmpdw[i + 1] + num_out * dhkdw[i]) / den_out
+        r[i] = qin_i - qout_i - qflx_tran_veg * rootr[i]
         a[i] = -dqidw0
         b[i] = dz_soil[i] / dt - dqidw1 + dqodw1
         cc[i] = dqodw2
@@ -221,29 +224,26 @@ def soil_water_update(h2osoi: jnp.ndarray, theta: jnp.ndarray,
     # selected per cell on water-table position (HYDROLOGY.f90:712-799).
     i = nl - 1
     den_in = zc_soil[i] - zc_soil[i - 1]
-    dzq_in = zq[:, i] - zq[:, i - 1]
-    num_in = smp[:, i] - smp[:, i - 1] - dzq_in
-    qin_bot = -hk[:, i - 1] * num_in / den_in
-    dqidw0 = -(-hk[:, i - 1] * dsmpdw[:, i - 1]
-               + num_in * dhkdw[:, i - 1]) / den_in
-    dqidw1 = -(hk[:, i - 1] * dsmpdw[:, i]
-               + num_in * dhkdw[:, i - 1]) / den_in
+    num_in = smp[i] - smp[i - 1] - (zq[i] - zq[i - 1])
+    qin_bot = -hk[i - 1] * num_in / den_in
+    dqidw0 = -(-hk[i - 1] * dsmpdw[i - 1]
+               + num_in * dhkdw[i - 1]) / den_in
+    dqidw1 = -(hk[i - 1] * dsmpdw[i]
+               + num_in * dhkdw[i - 1]) / den_in
 
     # Variant B (table below the column): aquifer coupling.
-    s_node_aq = jnp.clip(0.5 * (1.0 + theta[:, i] / theta_s[:, i]),
-                         0.01, 1.0)
+    s_node_aq = jnp.clip(0.5 * (1.0 + theta[i] / theta_s[i]), 0.01, 1.0)
     smp_aq = jnp.maximum(c.SMPMIN,
-                         psi_s[:, i] * s_node_aq ** (-bsw[:, i]))
-    dsmpdw_aq = -bsw[:, i] * smp_aq / (s_node_aq * theta_s[:, i])
+                         psi_s[i] * s_node_aq ** (-bsw[i]))
+    dsmpdw_aq = -bsw[i] * smp_aq / (s_node_aq * theta_s[i])
     den_b = jnp.where(below, zc_aq - zc_soil[i], 1.0)
-    dzq_b = zq[:, nl] - zq[:, i]
-    num_b = smp_aq - smp[:, i] - dzq_b
-    qout_b = -hk[:, i] * num_b / den_b
-    dqodw1_b = -(-hk[:, i] * dsmpdw[:, i] + num_b * dhkdw[:, i]) / den_b
-    dqodw2_b = -(hk[:, i] * dsmpdw_aq + num_b * dhkdw[:, i]) / den_b
+    num_b = smp_aq - smp[i] - (zq[nl] - zq[i])
+    qout_b = -hk[i] * num_b / den_b
+    dqodw1_b = -(-hk[i] * dsmpdw[i] + num_b * dhkdw[i]) / den_b
+    dqodw2_b = -(hk[i] * dsmpdw_aq + num_b * dhkdw[i]) / den_b
 
     qout_bot = jnp.where(below, qout_b, 0.0)
-    r[i] = qin_bot - qout_bot - qflx_tran_veg * rootr[:, i]
+    r[i] = qin_bot - qout_bot - qflx_tran_veg * rootr[i]
     a[i] = -dqidw0
     b[i] = jnp.where(below,
                      dz_soil[i] / dt - dqidw1 + dqodw1_b,
@@ -257,24 +257,24 @@ def soil_water_update(h2osoi: jnp.ndarray, theta: jnp.ndarray,
 
     # --- Batched Thomas solve and state update ----------------------------
     dw = _thomas_solve(a, b, cc, r)
-    dwat = jnp.stack(dw[:nl], axis=1)
-    h2osoi_new = h2osoi + dwat * dz_soil[None, :nl]
+    h2osoi_new = [h2osoi[i] + dw[i] * dz_soil[i] for i in range(nl)]
 
     # --- Aquifer recharge (HYDROLOGY.f90:856-904) -------------------------
     # Table inside the column: Darcy flux between the deepest unsaturated
     # node and the table; below the column: aquifer-layer increment.
-    jsafe = jnp.clip(jwt, 0, nl - 1)[:, None]
-    th_j = jnp.take_along_axis(theta, jsafe, axis=1)[:, 0]
-    ts_j = jnp.take_along_axis(theta_s, jsafe, axis=1)[:, 0]
-    hk_j = jnp.take_along_axis(hksat, jsafe, axis=1)[:, 0]
-    b_j = jnp.take_along_axis(bsw, jsafe, axis=1)[:, 0]
+    # Per-cell layer picks are fusible select chains (layers.select_layer).
+    th_j = select_layer(theta, jwt, fill=1.0)
+    ts_j = select_layer(theta_s, jwt, fill=1.0)
+    hk_j = select_layer(hksat, jwt, fill=0.0)
+    b_j = select_layer(bsw, jwt, fill=1.0)
     s1q = jnp.clip(th_j / ts_j, 0.01, 1.0)
     ka = hk_j * s1q ** (2.0 * b_j + 3.0)
-    jm = jnp.clip(jwt - 1, 0, nl - 1)[:, None]
-    smp_jm = jnp.take_along_axis(smp, jm, axis=1)[:, 0]
-    zq_jm = jnp.take_along_axis(zq[:, :nl], jm, axis=1)[:, 0]
+    jm = jnp.maximum(jwt - 1, 0)
+    smp_jm = select_layer(smp, jm, fill=0.0)
+    zq_jm = select_layer(zq[:nl], jm, fill=0.0)
     wh = jnp.maximum(c.SMPMIN, smp_jm) - zq_jm
-    zc_jm = jnp.take(zc_soil, jm[:, 0])
+    zc_jm = select_layer([zc_soil[i] * jnp.ones_like(zwtmm)
+                          for i in range(nl)], jm, fill=0.0)
     den_q = jnp.where(jwt == 0, zwtmm + 1.0, (zwtmm - zc_jm) * 2.0)
     qcharge_in = jnp.clip(-ka * (0.0 - wh) / den_q, -10.0 / dt, 10.0 / dt)
     qcharge_below = dw[nl] * dz_aq / dt

@@ -64,7 +64,8 @@ class Simulation:
         cfg = self.cfg
         ndays = calendar.days_in_year(year)
         block_days = block_days or cfg.forcing_block_days
-        acc = AnnualAccumulators.zeros(self.n, dtype=self.dtype)
+        acc = AnnualAccumulators.zeros(self.n, nsoil=self.grid.nsoil,
+                                       dtype=self.dtype)
         if self.sharding is not None:
             acc = jax.device_put(acc, self.sharding.state_sharding(acc))
 

@@ -186,7 +186,7 @@ def initial_state(params: SoilParams, dz_mm: np.ndarray, zi_mm: np.ndarray,
     DEVIATIONS.md).
     """
     n = params.n_cells
-    nsoil = c.NSOIL_LAYERS
+    nsoil = len(dz_mm) - 1          # dz includes the aquifer layer
     dz = jnp.asarray(dz_mm[:nsoil], dtype)
     zi = jnp.asarray(zi_mm, dtype)
 
