@@ -3,12 +3,19 @@
 Measures the flagship configuration — global 0.5-degree packed land-cell
 array (~67k cells), full coupled day step (48 hydrology substeps + daily
 vegetation growth) in float32 — on one chip, and reports throughput in
-land grid-cells/s/chip.
+land grid-cells/s/chip.  The hydrology day runs as the VMEM-resident
+Pallas kernel (physics/pallas_day.py); set H9_BENCH_PALLAS=0 to measure
+the XLA scan path instead.
 
 Baseline (BASELINE.md): the reference integrates ~62-67k land cells for
 112 years in 114 min on 64 Sandy Bridge cores, i.e. ~450-500 grid-cell-
 days/s per core at daily-step granularity.  ``vs_baseline`` is the ratio
 of our per-chip rate to 500 cell-days/s (one reference core).
+
+Timing note: the loop is closed with a device-to-host checksum INSIDE the
+timed window — on this TPU backend ``block_until_ready`` alone does not
+drain the dispatch queue, so timings without a forced transfer are
+meaningless.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -25,8 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: the day-step scan is a large XLA graph
-# (~100 s cold compile on TPU); warm runs load in seconds.
+# Persistent compilation cache: the day-step graphs are large (~2-10 min
+# cold compile on TPU); warm runs load in seconds.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
@@ -38,28 +45,34 @@ BASELINE_CELLS_PER_S_PER_CORE = 500.0
 def main() -> None:
     n_cells = 66560          # ~global 0.5-degree land-cell count, padded
     n_warmup = 3
-    n_iters = 10
+    n_iters = 100
+    use_pallas = os.environ.get("H9_BENCH_PALLAS", "1") != "0"
 
     from __graft_entry__ import _build
-    step_fn, state, forcing, params, geom, cfg = _build(n_cells, "float32")
+    from hybrid9_tpu.step import day_step
+    step_fn, state, forcing, params, geom, cfg = _build(n_cells)
 
-    # No donation: the axon backend cannot transfer outputs of
-    # donated-input executables back to host.
-    step = jax.jit(step_fn)
+    step = jax.jit(
+        lambda s, f: day_step(s, f, params, geom, cfg.dt, cfg.nisurf,
+                              use_pallas=use_pallas, pallas_block=1024))
 
-    # Warm-up: compile + stabilize clocks.
+    def sync(st):
+        # Forced D2H transfer: the only reliable queue drain here.
+        return float(jnp.sum(st.soil.h2osoi_liq))
+
     for _ in range(n_warmup):
-        state, res = step(state, forcing)
-    jax.block_until_ready(state)
+        state, diags = step(state, forcing)
+    sync(state)
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, res = step(state, forcing)
-    jax.block_until_ready(state)
+        state, diags = step(state, forcing)
+    checksum = sync(state)
     elapsed = time.perf_counter() - t0
 
-    max_res = float(jnp.max(res))
-    if not np.isfinite(max_res) or max_res > 0.1:
+    max_res = float(jnp.max(diags["max_abs_residual"]))
+    if not (np.isfinite(checksum) and np.isfinite(max_res)
+            and max_res <= 0.1):
         print(json.dumps({"metric": "land grid-cells/s/chip",
                           "value": 0.0, "unit": "cells/s",
                           "vs_baseline": 0.0,

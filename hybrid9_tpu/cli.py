@@ -59,7 +59,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         provider = PrefetchingProvider(NetCDFForcingProvider(
             cfg.forcing_path, grid))
 
-    sim = Simulation(cfg, params, sharding=sharding)
+    sim = Simulation(cfg, params, sharding=sharding, land_grid=grid)
     writer = AnnualWriter(cfg.output_path, grid) if cfg.write_annual \
         else None
     checkpointer = None

@@ -133,6 +133,13 @@ class Config:
     mesh_axis: str = "cells"          # Mesh axis name for the cell shard.
     cell_block: int = 1024            # Pad n_land to a multiple of this.
     donate_state: bool = True         # Donate state buffers in the day step.
+    use_pallas: Optional[bool] = None  # VMEM-resident Pallas day kernel;
+                                       # None = auto (TPU only).
+    pallas_block: int = 1024          # Cells per Pallas VMEM tile.
+
+    # --- Lateral routed flow (new capability; physics/routing.py) ---------
+    lateral_routing: bool = True      # Route runoff through the D8 net.
+    routing_k: float = 0.2            # Linear-reservoir release per day.
 
     def layer_grid(self) -> LayerGrid:
         return LayerGrid.from_interfaces(self.zi_mm)

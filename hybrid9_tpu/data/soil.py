@@ -38,9 +38,8 @@ def box_average(fine: np.ndarray, factor: int) -> np.ndarray:
     """
     ny, nx = fine.shape
     assert ny % factor == 0 and nx % factor == 0
-    blocks = fine.reshape(ny // factor, factor, nx // factor, factor)
-    with np.errstate(invalid="ignore"):
-        return np.nanmean(blocks, axis=(1, 3))
+    from ..io import native
+    return native.box_average(np.asarray(fine, np.float64), factor)
 
 
 def convert_bnu_units(theta_s_raw: np.ndarray, k_s_raw: np.ndarray,

@@ -79,7 +79,16 @@ class LandGrid:
         return out
 
     def pack(self, field2d: np.ndarray, fill: float = 0.0) -> np.ndarray:
-        """Gather a [ny, nx] (or [ny, nx, ...]) field to the packed axis."""
+        """Gather a [ny, nx] (or [ny, nx, ...]) field to the packed axis.
+
+        2-D float fields go through the native gather (io/native.py) when
+        the C++ library is built.
+        """
+        if field2d.ndim == 2 and field2d.dtype in (np.float32, np.float64):
+            from ..io import native
+            return native.pack_gather(
+                np.ascontiguousarray(field2d).reshape(-1), self.land_idx,
+                self.n_padded, fill)
         flat = field2d.reshape(self.ny * self.nx, *field2d.shape[2:])
         packed = flat[self.land_idx]
         pad = self.n_padded - self.n_land

@@ -1,0 +1,110 @@
+"""Flow-direction network for lateral (routed) flow.
+
+NEW capability beyond the reference: HYBRID9 has no inter-cell physics —
+runoff vanishes at the cell (SURVEY.md C14 notes lateral flow as a goal,
+not a reference feature).  This module builds a D8 flow-direction network
+over the land grid (steepest-descent neighbour on an elevation field) and
+maps it onto the packed cell axis: for every packed land cell, the packed
+index of its downstream cell, or ``n`` (a virtual ocean outlet) where the
+cell drains off-land.
+
+The routing step itself (physics/routing.py) is a segment-sum over these
+indices — under a sharded cell axis XLA lowers it to the appropriate
+collectives, the GSPMD analog of an MPI halo exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .grid import LandGrid
+
+# D8 neighbour offsets (dy, dx).
+_D8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+       (1, 1)]
+
+
+def synthetic_elevation(land_mask: np.ndarray, seed: int = 0
+                        ) -> np.ndarray:
+    """Smooth synthetic elevation (m) over the grid, higher inland.
+
+    Deterministic stand-in for a real DEM: low-frequency random relief
+    plus distance-from-ocean swell so networks drain toward coasts.
+    """
+    ny, nx = land_mask.shape
+    rng = np.random.RandomState(seed + 7)
+    yy = np.linspace(0.0, 2.0 * np.pi, ny, endpoint=False)
+    xx = np.linspace(0.0, 2.0 * np.pi, nx, endpoint=False)
+    relief = np.zeros((ny, nx))
+    for ky in range(1, 6):
+        for kx in range(1, 6):
+            amp = rng.normal() / (kx + ky)
+            ph_x, ph_y = rng.uniform(0, 2 * np.pi, 2)
+            relief += amp * np.outer(np.sin(ky * yy + ph_y),
+                                     np.sin(kx * xx + ph_x))
+    relief = 500.0 * (relief - relief.min())
+
+    # Distance-from-ocean term: iterative dilation (cheap, approximate).
+    dist = np.zeros((ny, nx))
+    frontier = ~land_mask
+    reached = frontier.copy()
+    for step in range(1, 41):
+        grown = reached.copy()
+        grown[1:, :] |= reached[:-1, :]
+        grown[:-1, :] |= reached[1:, :]
+        grown[:, 1:] |= reached[:, :-1]
+        grown[:, :-1] |= reached[:, 1:]
+        newly = grown & ~reached
+        dist[newly] = step
+        reached = grown
+        if reached.all():
+            break
+    dist[~reached] = 41.0
+    return relief + 30.0 * dist
+
+
+def build_downstream_index(grid: LandGrid,
+                           elevation: np.ndarray | None = None,
+                           seed: int = 0) -> np.ndarray:
+    """Packed downstream index per cell ([n_padded] int32).
+
+    For each land cell, the steepest-descent D8 neighbour's packed index;
+    cells whose steepest neighbour is ocean, off-grid, or not lower drain
+    to the virtual outlet (index ``n_padded``).  Padding cells also point
+    at the outlet.  Longitude wraps; latitude clamps at the poles.
+    """
+    ny, nx = grid.ny, grid.nx
+    land = np.zeros(ny * nx, bool)
+    land[grid.land_idx] = True
+    land = land.reshape(ny, nx)
+    if elevation is None:
+        elevation = synthetic_elevation(land, seed)
+
+    # Map flat grid index -> packed index.
+    packed_of = np.full(ny * nx, -1, np.int64)
+    packed_of[grid.land_idx] = np.arange(grid.n_land)
+
+    ys = grid.land_idx // nx
+    xs = grid.land_idx % nx
+    here = elevation[ys, xs]
+    best_drop = np.zeros(grid.n_land)
+    best_down = np.full(grid.n_land, grid.n_padded, np.int64)  # outlet
+    for dy, dx in _D8:
+        yn = ys + dy
+        xn = (xs + dx) % nx
+        valid = (yn >= 0) & (yn < ny)
+        ync = np.clip(yn, 0, ny - 1)
+        drop = np.where(valid, here - elevation[ync, xn], -np.inf)
+        is_land = valid & land[ync, xn]
+        flat_n = ync * nx + xn
+        cand = np.where(is_land, packed_of[flat_n], grid.n_padded)
+        better = drop > best_drop
+        best_down = np.where(better, cand, best_down)
+        best_drop = np.where(better, drop, best_drop)
+
+    downstream = np.full(grid.n_padded, grid.n_padded, np.int64)
+    downstream[:grid.n_land] = best_down
+    # No self-loops (flat cells already go to the outlet via best_drop=0).
+    self_loop = downstream[:grid.n_land] == np.arange(grid.n_land)
+    downstream[:grid.n_land][self_loop] = grid.n_padded
+    return downstream.astype(np.int32)

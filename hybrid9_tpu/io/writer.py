@@ -26,6 +26,7 @@ ANNUAL_UNITS = {
     "npp": "g[DM] m-2 yr-1",
     "plant_mass": "g[DM] m-2",
     "rnf": "mm s-1",
+    "discharge": "mm yr-1",
     "evap": "mm s-1",
     "tas": "K",
     "huss": "kg kg-1",
@@ -38,6 +39,39 @@ ANNUAL_UNITS = {
     "theta": "m3 m-3",
     "max_abs_residual": "mm",
 }
+
+
+def write_init_diagnostics(output_path: str, land_grid: LandGrid,
+                           params, n_shards: int = 1) -> str:
+    """Write the init-time diagnostic fields the reference produces.
+
+    The analog of the reference's psi_s.nc (INIT.f90:686-689), soil_tex.nc
+    and chunk.nc decomposition map (INIT.f90:823-835): the saturated
+    matric potential stack, the land mask, and each cell's owning shard
+    index under the 1-D cell decomposition — eyeball-able in any NetCDF
+    viewer.
+    """
+    import numpy as np
+
+    os.makedirs(output_path, exist_ok=True)
+    path = os.path.join(output_path, "init_diagnostics.nc")
+    n = land_grid.n_padded
+    shard = np.floor_divide(np.arange(n), max(1, n // max(1, n_shards)))
+    fields = {
+        "psi_s": land_grid.scatter(
+            np.asarray(params.psi_s, np.float64)),
+        "theta_s": land_grid.scatter(
+            np.asarray(params.theta_s, np.float64)),
+        "fmax": land_grid.scatter(np.asarray(params.fmax, np.float64)),
+        "land_mask": land_grid.scatter(
+            np.ones(n, np.float64), fill=0.0),
+        "shard_map": land_grid.scatter(shard.astype(np.float64)),
+    }
+    layer_dim = fields["psi_s"].shape[-1]
+    netcdf.write_grid_file(path, fields, land_grid.lon, land_grid.lat,
+                           units={"psi_s": "mm"}, layer_dim=layer_dim)
+    log.info("wrote init diagnostics to %s", path)
+    return path
 
 
 class AnnualWriter:

@@ -30,6 +30,8 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
     Returns the updated state and daily NPP (g DM/day, ``[n]``).
     """
     nl = smp.shape[1]
+    zi = jnp.asarray(zi, smp.dtype) if not isinstance(zi, jnp.ndarray) \
+        else zi
 
     # Root-weighted soil-moisture constraint: ramp on smp between -150,000
     # and -50,000 mm (CESM Eqn 8.27 analog; GROW.f90:55-62).

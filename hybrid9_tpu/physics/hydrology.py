@@ -31,19 +31,24 @@ from ..state import Forcing, SoilState, SubstepFluxes, VegState
 
 
 class Geometry(NamedTuple):
-    """Static vertical geometry, device-resident (mm)."""
+    """Static vertical geometry in mm, as tuples of Python floats.
 
-    zi: jnp.ndarray       # [10] interface depths
-    dz_soil: jnp.ndarray  # [8] soil-layer thicknesses
-    zc_soil: jnp.ndarray  # [8] soil-layer node depths
+    Hashable, so it can be a jit static argument; the layer depths are
+    baked into the compiled kernels as constants (they are configuration,
+    not data — EXECUTE/driver.txt:17-26).
+    """
+
+    zi: tuple       # [nl + 2] interface depths
+    dz_soil: tuple  # [nl] soil-layer thicknesses
+    zc_soil: tuple  # [nl] soil-layer node depths
 
     @classmethod
-    def from_layer_grid(cls, grid, dtype=jnp.float32) -> "Geometry":
+    def from_layer_grid(cls, grid, dtype=None) -> "Geometry":
         nl = grid.nsoil
         return cls(
-            zi=jnp.asarray(grid.zi, dtype),
-            dz_soil=jnp.asarray(grid.dz[:nl], dtype),
-            zc_soil=jnp.asarray(grid.zc[:nl], dtype),
+            zi=tuple(float(z) for z in grid.zi),
+            dz_soil=tuple(float(z) for z in grid.dz[:nl]),
+            zc_soil=tuple(float(z) for z in grid.zc[:nl]),
         )
 
 
@@ -62,42 +67,36 @@ def derive_forcing(f: Forcing) -> Dict[str, jnp.ndarray]:
                 forc_rain=forc_rain, lamb=lamb, huss=f.huss, ps=f.ps)
 
 
-def hydrology_substep(soil: SoilState, veg: VegState, params,
-                      fd: Dict[str, jnp.ndarray], geom: Geometry,
-                      dt: float) -> Tuple[SoilState, SubstepFluxes]:
-    """One hydrology substep for all cells.
+def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
+                   p_theta_s, p_hksat, p_psi_s, p_bsw, fmax,
+                   fd: Dict[str, jnp.ndarray], geom: Geometry,
+                   dt: float) -> Dict[str, object]:
+    """One hydrology substep on plain values.
 
-    ``params`` is a SoilParams pytree; ``fd`` is the derived-forcing dict
-    from :func:`derive_forcing` (computed once per day, reused across the
-    48 substeps).
+    Per-layer args (``h``, ``smp_prev``, ``rootr``, ``p_*``) are lists of
+    ``[n]`` arrays; the rest are ``[n]`` arrays.  This value-level core is
+    shared by the XLA path (:func:`hydrology_substep`) and the Pallas day
+    kernel (pallas_day.py), which calls it on VMEM-resident blocks.
+
+    Returns a dict with the updated prognostics (``h``, ``smp`` as lists;
+    ``zwt``, ``wa``) and the substep fluxes.
     """
-    nl = soil.h2osoi_liq.shape[1]
+    nl = len(h)
     dz = geom.dz_soil
-
-    # Per-layer fields as lists of [n] slices (layers.py): everything
-    # downstream is scatter/gather-free elementwise work.
-    h = unstack(soil.h2osoi_liq)
     theta = [h[i] / (dz[i] * c.RHOW / 1.0e3) for i in range(nl)]
-    p_theta_s = unstack(params.theta_s)
-    p_hksat = unstack(params.hksat)
-    p_psi_s = unstack(params.psi_s)
-    p_bsw = unstack(params.bsw)
-    rootr = unstack(veg.rootr)
-    smp_prev = unstack(soil.smp)
 
     # Opening balance (HYDROLOGY.f90:141-151).
-    w0 = fd["forc_rain"] * dt + soil.wa + sum(h)
+    w0 = fd["forc_rain"] * dt + wa + sum(h)
 
     # CESM SurfaceRunoff: TOPMODEL saturated fraction
     # (HYDROLOGY.f90:178-213).
-    fsat = params.fmax * jnp.exp(-0.5 * c.FFF * soil.zwt)
+    fsat = fmax * jnp.exp(-0.5 * c.FFF * zwt)
     qflx_top_soil = fd["forc_rain"]
     qflx_surf = fsat * qflx_top_soil
 
     # Dual-source ET (HYDROLOGY.f90:228-418).
     et = dual_source_et(theta, p_theta_s, smp_prev, rootr,
-                        veg.lai, veg.lai_litter, geom.zc_soil,
-                        dz[0], dt, fd)
+                        lai, lai_litter, geom.zc_soil, dz[0], dt, fd)
 
     # CESM Infiltration (HYDROLOGY.f90:426-478).
     eff_porosity = [jnp.maximum(0.01, ts) for ts in p_theta_s]
@@ -111,12 +110,12 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
     # CESM SoilWater: implicit vertical step + recharge
     # (HYDROLOGY.f90:485-909).
     sw = soil_water_update(
-        h, theta, soil.zwt, p_theta_s, p_hksat, p_psi_s, p_bsw,
+        h, theta, zwt, p_theta_s, p_hksat, p_psi_s, p_bsw,
         qflx_infl, et.qflx_tran_veg, rootr, geom.zi, dz, geom.zc_soil, dt)
 
     # CESM Drainage: water table, baseflow, fix-ups
     # (HYDROLOGY.f90:911-1216).
-    dr = drainage(sw.h2osoi, soil.zwt, soil.wa, sw.qcharge,
+    dr = drainage(sw.h2osoi, zwt, wa, sw.qcharge,
                   p_theta_s, p_psi_s, p_bsw, eff_porosity,
                   geom.zi, dz, dt)
 
@@ -125,21 +124,46 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
           + dr.rsub_top + dr.qflx_rsub_sat) * dt + dr.wa + sum(dr.h2osoi)
     residual = w1 - w0
 
+    return dict(
+        h=dr.h2osoi, smp=sw.smp, zwt=dr.zwt, wa=dr.wa,
+        qflx_surf=qflx_surf, qflx_evap_grnd=et.qflx_evap_grnd,
+        qflx_tran_veg=et.qflx_tran_veg, rsub_top=dr.rsub_top,
+        qflx_rsub_sat=dr.qflx_rsub_sat, qcharge=sw.qcharge,
+        rnff=dr.rnff, residual=residual,
+    )
+
+
+def hydrology_substep(soil: SoilState, veg: VegState, params,
+                      fd: Dict[str, jnp.ndarray], geom: Geometry,
+                      dt: float) -> Tuple[SoilState, SubstepFluxes]:
+    """One hydrology substep for all cells (pytree wrapper).
+
+    ``params`` is a SoilParams pytree; ``fd`` is the derived-forcing dict
+    from :func:`derive_forcing` (computed once per day, reused across the
+    48 substeps).
+    """
+    out = substep_values(
+        unstack(soil.h2osoi_liq), unstack(soil.smp), soil.zwt, soil.wa,
+        unstack(veg.rootr), veg.lai, veg.lai_litter,
+        unstack(params.theta_s), unstack(params.hksat),
+        unstack(params.psi_s), unstack(params.bsw), params.fmax,
+        fd, geom, dt)
+
     new_soil = SoilState(
-        h2osoi_liq=stack(dr.h2osoi),
-        zwt=dr.zwt,
-        wa=dr.wa,
-        smp=stack(sw.smp),
+        h2osoi_liq=stack(out["h"]),
+        zwt=out["zwt"],
+        wa=out["wa"],
+        smp=stack(out["smp"]),
         h2osoi_liq_ma=soil.h2osoi_liq_ma,
     )
     fluxes = SubstepFluxes(
-        qflx_surf=qflx_surf,
-        qflx_evap_grnd=et.qflx_evap_grnd,
-        qflx_tran_veg=et.qflx_tran_veg,
-        rsub_top=dr.rsub_top,
-        qflx_rsub_sat=dr.qflx_rsub_sat,
-        qcharge=sw.qcharge,
-        rnff=stack(dr.rnff),
-        residual=residual,
+        qflx_surf=out["qflx_surf"],
+        qflx_evap_grnd=out["qflx_evap_grnd"],
+        qflx_tran_veg=out["qflx_tran_veg"],
+        rsub_top=out["rsub_top"],
+        qflx_rsub_sat=out["qflx_rsub_sat"],
+        qcharge=out["qcharge"],
+        rnff=stack(out["rnff"]),
+        residual=out["residual"],
     )
     return new_soil, fluxes

@@ -41,7 +41,7 @@ def water_table_index(zwt: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
     elementwise compares (no reductions over a strided axis).
     """
     jwt = None
-    for i in range(1, zi.shape[0] - 1):
+    for i in range(1, len(zi) - 1):
         above = (zwt > zi[i] / 1000.0).astype(jnp.int32)
         jwt = above if jwt is None else jwt + above
     return jwt

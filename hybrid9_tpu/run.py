@@ -35,7 +35,7 @@ class Simulation:
 
     def __init__(self, cfg: Config, params: SoilParams,
                  state: Optional[ModelState] = None,
-                 sharding=None):
+                 sharding=None, land_grid=None):
         self.cfg = cfg
         self.grid = cfg.layer_grid()
         self.dtype = jnp.dtype(cfg.dtype)
@@ -51,6 +51,25 @@ class Simulation:
             self.params = jax.device_put(
                 params, sharding.state_sharding(params))
         self.state = state
+        if cfg.use_pallas is None:
+            # Auto: the Pallas day kernel needs a real TPU backend and a
+            # cell count divisible by the block size.
+            self.use_pallas = (jax.default_backend() == "tpu"
+                               and self.n % cfg.pallas_block == 0
+                               and sharding is None)
+        else:
+            self.use_pallas = cfg.use_pallas
+        self.routing = None
+        if cfg.lateral_routing and land_grid is not None:
+            from .grids.routing import build_downstream_index
+            from .physics.routing import RoutingParams
+            downstream = jnp.asarray(
+                build_downstream_index(land_grid), jnp.int32)
+            if sharding is not None:
+                downstream = jax.device_put(
+                    downstream, sharding.spec_for(downstream))
+            self.routing = RoutingParams(downstream=downstream,
+                                         k=cfg.routing_k)
         self.annual_results: List[Dict[str, np.ndarray]] = []
 
     def run_year(self, year: int,
@@ -82,18 +101,41 @@ class Simulation:
                 next_block = forcing_provider(year, doy + nblk, nnext)
             self.state, acc = block_step(
                 self.state, acc, block, self.params, self.geom,
-                cfg.dt, cfg.nisurf)
+                cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
+                pallas_block=cfg.pallas_block, routing=self.routing)
             doy += nblk
 
         means = annual_means(acc, cfg.nisurf)
         means = {k: np.asarray(v) for k, v in means.items()}
         elapsed = time.perf_counter() - t0
+        self._health_check(year, means)
         max_res = float(np.max(means["max_abs_residual"]))
         log.info("year %d: %d days in %.2fs (%.0f cell-days/s), "
                  "max|residual|=%.3g mm", year, ndays, elapsed,
                  self.n * ndays / elapsed, max_res)
         self.annual_results.append(means)
         return means
+
+    def _health_check(self, year: int, means: Dict[str, np.ndarray]
+                      ) -> None:
+        """Failure detection: NaN state or broken water balance.
+
+        The reference aborts the whole MPI job with the offending cell's
+        coordinates (HYDROLOGY.f90:1244-1274); we log the worst cells
+        with their packed indices and keep running — callers can treat a
+        logged error as fatal if they choose.
+        """
+        res = means["max_abs_residual"]
+        bad_nan = ~np.isfinite(res)
+        if np.any(bad_nan):
+            idx = np.flatnonzero(bad_nan)[:8]
+            log.error("year %d: NON-FINITE state in %d cells (packed "
+                      "idx %s)", year, int(bad_nan.sum()), idx.tolist())
+        worst = np.nanmax(res) if res.size else 0.0
+        if worst > 0.1:
+            i = int(np.nanargmax(res))
+            log.error("year %d: water-balance residual %.3g mm > 0.1 mm "
+                      "at packed cell %d", year, float(worst), i)
 
     def run(self, forcing_provider, writer=None,
             checkpointer=None) -> List[Dict[str, np.ndarray]]:

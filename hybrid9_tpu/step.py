@@ -27,14 +27,32 @@ from .state import (AnnualAccumulators, Forcing, ModelState, SoilParams,
 
 
 def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
-             geom: Geometry, dt: float, nisurf: int
+             geom: Geometry, dt: float, nisurf: int,
+             use_pallas: bool = False, pallas_block: int = 1024,
+             routing=None
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
     Returns the new state and daily diagnostics (evaporation, runoff, NPP,
     max water-balance residual), the analog of the reference's daily
-    accumulation (HYBRID9.f90:193-253).
+    accumulation (HYBRID9.f90:193-253).  With ``use_pallas`` the substep
+    loop runs as a single VMEM-resident Pallas kernel (pallas_day.py)
+    instead of a ``lax.scan`` of XLA-fused substeps.
     """
+    if use_pallas:
+        from .physics.pallas_day import pallas_hydrology_day
+        soil, pd = pallas_hydrology_day(state.soil, state.veg, params,
+                                        forcing, geom, dt, nisurf,
+                                        block=pallas_block)
+        veg, npp = grow_daily(state.veg, soil.smp, forcing.tas, geom.zi)
+        diags = dict(evap_day=pd["evap_day"],
+                     evap_grnd_day=pd["evap_grnd_day"],
+                     rnf_day=pd["rnf_day"],
+                     max_abs_residual=pd["max_abs_residual"],
+                     npp=npp)
+        river, diags = _route(state.river_store, diags, routing)
+        return ModelState(soil=soil, veg=veg, river_store=river), diags
+
     fd = derive_forcing(forcing)
     veg = state.veg
     n = forcing.tas.shape[0]
@@ -65,16 +83,30 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         max_abs_residual=max_res,
         npp=npp,
     )
-    return ModelState(soil=soil, veg=veg), diags
+    river, diags = _route(state.river_store, diags, routing)
+    return ModelState(soil=soil, veg=veg, river_store=river), diags
+
+
+def _route(river_store, diags, routing):
+    """Daily lateral routing of the day's runoff (physics/routing.py)."""
+    if routing is None:
+        diags = dict(diags, discharge=jnp.zeros_like(river_store))
+        return river_store, diags
+    from .physics.routing import route_daily
+    new_store, discharge = route_daily(river_store, diags["rnf_day"],
+                                       routing)
+    return new_store, dict(diags, discharge=discharge)
 
 
 def _accumulate(acc: AnnualAccumulators, state: ModelState,
                 forcing: Forcing, diags: Dict[str, jnp.ndarray],
-                dz_soil: jnp.ndarray) -> AnnualAccumulators:
+                dz_soil) -> AnnualAccumulators:
     """Daily accumulation into annual sums (HYBRID9.f90:235-253)."""
-    theta = state.soil.h2osoi_liq / (dz_soil[None, :] * c.RHOW / 1.0e3)
+    dz = jnp.asarray(dz_soil, state.soil.h2osoi_liq.dtype)
+    theta = state.soil.h2osoi_liq / (dz[None, :] * c.RHOW / 1.0e3)
     return acc.replace(
         npp_sum=acc.npp_sum + diags["npp"],
+        discharge_sum=acc.discharge_sum + diags["discharge"],
         plant_mass_sum=acc.plant_mass_sum + state.veg.plant_mass,
         rnf_sum=acc.rnf_sum + diags["rnf_day"],
         evap_sum=acc.evap_sum + diags["evap_day"],
@@ -98,10 +130,13 @@ def _accumulate(acc: AnnualAccumulators, state: ModelState,
 # transfers of outputs from donated-input executables (InvalidArgument).
 # Donation saves one state-sized HBM copy per block; revisit when the
 # backend supports it.
-@functools.partial(jax.jit, static_argnames=("nisurf", "dt"))
+@functools.partial(jax.jit,
+                   static_argnames=("nisurf", "dt", "geom", "use_pallas",
+                                    "pallas_block"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
-               dt: float, nisurf: int
+               dt: float, nisurf: int, use_pallas: bool = False,
+               pallas_block: int = 1024, routing=None
                ) -> Tuple[ModelState, AnnualAccumulators]:
     """Scan the day step over a ``[days, n]`` forcing block.
 
@@ -113,7 +148,9 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
 
     def body(carry, f_day):
         st, ac = carry
-        st, diags = day_step(st, f_day, params, geom, dt, nisurf)
+        st, diags = day_step(st, f_day, params, geom, dt, nisurf,
+                             use_pallas=use_pallas,
+                             pallas_block=pallas_block, routing=routing)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         return (st, ac), None
 
@@ -131,6 +168,7 @@ def annual_means(acc: AnnualAccumulators, nisurf: int
     nt = acc.n_days
     return dict(
         npp=acc.npp_sum,
+        discharge=acc.discharge_sum,
         plant_mass=acc.plant_mass_sum / nt,
         rnf=acc.rnf_sum / (nt * nisurf * (c.SDAY / nisurf)),
         evap=acc.evap_sum / (nt * nisurf * (c.SDAY / nisurf)),

@@ -27,8 +27,9 @@ def test_substep_conserves_water(layer_grid, geometry_np):
     nisurf = 48
     zi, dz, zc = geometry_np
     _, _, params, soil, veg = make_ensemble(n, 11, layer_grid)
-    geom = Geometry(zi=jnp.asarray(zi), dz_soil=jnp.asarray(dz[:NL]),
-                    zc_soil=jnp.asarray(zc[:NL]))
+    geom = Geometry(zi=tuple(map(float, zi)),
+                    dz_soil=tuple(map(float, dz[:NL])),
+                    zc_soil=tuple(map(float, zc[:NL])))
     dt = c.SDAY / nisurf
 
     @jax.jit
@@ -72,9 +73,9 @@ def test_substep_conserves_water_f32(layer_grid, geometry_np):
     params = jax.tree_util.tree_map(lambda x: x.astype(f32), params64)
     soil = jax.tree_util.tree_map(lambda x: x.astype(f32), soil64)
     veg = jax.tree_util.tree_map(lambda x: x.astype(f32), veg64)
-    geom = Geometry(zi=jnp.asarray(zi, f32),
-                    dz_soil=jnp.asarray(dz[:NL], f32),
-                    zc_soil=jnp.asarray(zc[:NL], f32))
+    geom = Geometry(zi=tuple(map(float, zi)),
+                    dz_soil=tuple(map(float, dz[:NL])),
+                    zc_soil=tuple(map(float, zc[:NL])))
     dt = c.SDAY / nisurf
 
     @jax.jit

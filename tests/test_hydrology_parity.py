@@ -106,8 +106,9 @@ def test_substep_parity(layer_grid, geometry_np, seed):
     n = 96
     zi, dz, zc = geometry_np
     op, os_, params, soil, veg = make_ensemble(n, seed, layer_grid)
-    geom = Geometry(zi=jnp.asarray(zi), dz_soil=jnp.asarray(dz[:NL]),
-                    zc_soil=jnp.asarray(zc[:NL]))
+    geom = Geometry(zi=tuple(map(float, zi)),
+                    dz_soil=tuple(map(float, dz[:NL])),
+                    zc_soil=tuple(map(float, zc[:NL])))
     dt = c.SDAY / 48.0
 
     day = synthetic_forcing_day(n, 100, seed)
@@ -147,8 +148,9 @@ def test_multiday_trajectory_parity(layer_grid, geometry_np):
     n_days = 10
     zi, dz, zc = geometry_np
     op, os_, params, soil, veg = make_ensemble(n, seed, layer_grid)
-    geom = Geometry(zi=jnp.asarray(zi), dz_soil=jnp.asarray(dz[:NL]),
-                    zc_soil=jnp.asarray(zc[:NL]))
+    geom = Geometry(zi=tuple(map(float, zi)),
+                    dz_soil=tuple(map(float, dz[:NL])),
+                    zc_soil=tuple(map(float, zc[:NL])))
     dt = c.SDAY / nisurf
 
     @jax.jit

@@ -82,8 +82,9 @@ def test_vector_matches_oracle_20_layers():
         rootr=jnp.asarray(rootr, f64),
         c_labile=jnp.zeros((n,), f64), n_labile=jnp.zeros((n,), f64),
         p_labile=jnp.zeros((n,), f64))
-    geom = Geometry(zi=jnp.asarray(zi), dz_soil=jnp.asarray(dz[:nl]),
-                    zc_soil=jnp.asarray(zc[:nl]))
+    geom = Geometry(zi=tuple(map(float, zi)),
+                    dz_soil=tuple(map(float, dz[:nl])),
+                    zc_soil=tuple(map(float, zc[:nl])))
     dt = c.SDAY / 48.0
     day = synthetic_forcing_day(n, 120, 5)
     f = Forcing(**{k: jnp.asarray(v, f64) for k, v in day.items()})
