@@ -52,6 +52,18 @@ def cmd_run(args: argparse.Namespace) -> int:
     sharding = CellSharding.create() if args.shard else None
     if sharding is not None:
         sharding.check_divisible(grid.n_padded)
+    state = None
+    start_year = cfg.start_year
+    if args.resume:
+        from .io.checkpoint import Checkpointer
+        from .state import initial_state
+        lg = cfg.layer_grid()
+        template = initial_state(params, lg.dz, lg.zi)
+        ck = Checkpointer(cfg.checkpoint_path)
+        year, state = ck.restore(template)
+        start_year = year + 1
+        cfg = Config(**{**cfg.__dict__, "start_year": start_year})
+        log.info("resumed from checkpoint year %d", year)
     provider = PrefetchingProvider(SyntheticForcingProvider(
         grid.n_padded, seed=0, lat=grid.cell_lat))
     if cfg.forcing == "pgf" and cfg.forcing_path:
@@ -59,7 +71,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         provider = PrefetchingProvider(NetCDFForcingProvider(
             cfg.forcing_path, grid))
 
-    sim = Simulation(cfg, params, sharding=sharding, land_grid=grid)
+    sim = Simulation(cfg, params, state=state, sharding=sharding,
+                     land_grid=grid)
     writer = AnnualWriter(cfg.output_path, grid) if cfg.write_annual \
         else None
     checkpointer = None
@@ -110,6 +123,8 @@ def main(argv=None) -> int:
                     help="shard cells over all local devices")
     pr.add_argument("--cache-dir", default=".jax_cache",
                     help="persistent XLA compilation cache")
+    pr.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("site", help="single-column site simulation")

@@ -29,6 +29,18 @@ from .synthetic import synthetic_forcing_block
 PGF_VARIABLES = ("tas", "rlds", "rsds", "huss", "ps", "pr", "rhs")
 
 
+def pgf_decade_path(base_dir: str, var: str, year: int) -> str:
+    """Path of the PGF v2.1 decade file holding ``year`` for ``var``.
+
+    Reproduces the reference's naming convention
+    ``<var>_pgfv2.1_<syr>_<eyr>.nc4`` (READ_PGF.f90:22-109; decade table
+    CONTROL.f90:174-177), e.g. ``tas_pgfv2.1_1901_1910.nc4``.
+    """
+    from .. import calendar
+    syr, eyr = calendar.decade_year_span(calendar.decade_of_year(year))
+    return f"{base_dir}/{var}_pgfv2.1_{syr}_{eyr}.nc4"
+
+
 class SyntheticForcingProvider:
     """Deterministic synthetic forcing keyed by (year, day-of-year)."""
 
@@ -70,11 +82,18 @@ class NetCDFForcingProvider:
         t0 = calendar.time_boy(year) - calendar.time_boy(
             1901 + ((year - 1901) // 10) * 10) + start_doy - 1
         arrays: Dict[str, jnp.ndarray] = {}
+        from ..io import native
         for var in PGF_VARIABLES:
-            path = self.path_pattern.format(var=var, year=year)
+            if "{var}" in self.path_pattern:
+                path = self.path_pattern.format(var=var, year=year)
+            else:
+                path = pgf_decade_path(self.path_pattern, var, year)
             raw = self._nc.read_variable(
                 path, var, (slice(t0, t0 + n_days),))
-            packed = np.stack([self.grid.pack(day) for day in raw])
+            # One-pass gather + narrowing through the native library
+            # (h9_pack_forcing_block) when built.
+            packed = native.pack_forcing_block(
+                np.asarray(raw), self.grid.land_idx, self.grid.n_padded)
             arrays[var] = jnp.asarray(packed[:, self.cell_slice],
                                       self.dtype)
         return Forcing(**arrays)

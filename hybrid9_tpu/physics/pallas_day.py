@@ -157,3 +157,39 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
     diags = dict(evap_day=evap_day, evap_grnd_day=evap_grnd_day,
                  rnf_day=rnf_day, max_abs_residual=max_res)
     return new_soil, diags
+
+
+def pallas_hydrology_day_sharded(soil: SoilState, veg, params: SoilParams,
+                                 forcing: Forcing, geom: Geometry,
+                                 dt: float, nisurf: int, mesh,
+                                 axis: str = "cells", block: int = 1024,
+                                 interpret: bool = False):
+    """Multi-chip variant: shard_map the day kernel over the cell axis.
+
+    Every input/output is partitioned on its leading (cell) axis; each
+    device runs the Pallas kernel on its local shard, with zero
+    communication (the physics is cell-local — SURVEY.md C14).  The
+    per-device cell count must divide ``block``-evenly.
+    """
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+
+    def spec_of(leaf):
+        nd = jnp.ndim(leaf)
+        if nd == 0:
+            return P()
+        return P(axis, *([None] * (nd - 1)))
+
+    args = (soil, veg, params, forcing)
+    in_specs = jax.tree_util.tree_map(spec_of, args)
+
+    def local_fn(soil_l, veg_l, params_l, forcing_l):
+        return pallas_hydrology_day(soil_l, veg_l, params_l, forcing_l,
+                                    geom, dt, nisurf, block=block,
+                                    interpret=interpret)
+
+    out_shape = jax.eval_shape(local_fn, *args)
+    out_specs = jax.tree_util.tree_map(spec_of, out_shape)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    return fn(*args)

@@ -154,3 +154,24 @@ def test_checkpoint_roundtrip(tmp_path, layer_grid):
     np.testing.assert_array_equal(np.asarray(restored.veg.lai),
                                   np.asarray(state.veg.lai))
     ckpt.close()
+
+
+def test_quarter_degree_grid():
+    """BASELINE config 5 geometry: 0.25-degree global grid."""
+    from hybrid9_tpu.grids.grid import make_land_grid, synthetic_land_mask
+    mask = synthetic_land_mask(resolution_deg=0.25, seed=0)
+    assert mask.shape == (720, 1440)
+    grid = make_land_grid(mask, 0.25, pad_multiple=1024)
+    # ~29 % land of ~1M cells.
+    assert 250_000 < grid.n_land < 330_000
+    assert grid.n_padded % 1024 == 0
+    lon, lat = grid.lon, grid.lat
+    assert lon.shape == (1440,) and lat.shape == (720,)
+
+
+def test_pgf_decade_path():
+    from hybrid9_tpu.data.forcing import pgf_decade_path
+    assert pgf_decade_path("/d", "tas", 1905) \
+        == "/d/tas_pgfv2.1_1901_1910.nc4"
+    assert pgf_decade_path("/d", "pr", 2011) \
+        == "/d/pr_pgfv2.1_2011_2012.nc4"

@@ -70,3 +70,29 @@ def test_pallas_day_via_day_step_flag():
     # GROW ran after the kernel.
     assert not np.allclose(np.asarray(out_state.veg.lai),
                            np.asarray(state.veg.lai))
+
+
+def test_pallas_day_sharded_8dev():
+    """shard_map'd Pallas day kernel over the 8-device mesh (interpret)."""
+    import jax
+    from jax.sharding import Mesh
+    import numpy as np
+    from hybrid9_tpu.physics.pallas_day import (
+        pallas_hydrology_day_sharded)
+
+    n = 8 * 256
+    step_fn, state, forcing, params, geom, cfg = _build_small(n)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("cells",))
+    soil_sh, diags_sh = pallas_hydrology_day_sharded(
+        state.soil, state.veg, params, forcing, geom, cfg.dt, cfg.nisurf,
+        mesh=mesh, block=256, interpret=True)
+
+    ref_state, ref_diags = jax.jit(
+        lambda s, f: day_step(s, f, params, geom, cfg.dt, cfg.nisurf)
+    )(state, forcing)
+    np.testing.assert_allclose(np.asarray(soil_sh.h2osoi_liq),
+                               np.asarray(ref_state.soil.h2osoi_liq),
+                               rtol=5e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(diags_sh["evap_day"]),
+                               np.asarray(ref_diags["evap_day"]),
+                               rtol=5e-3, atol=1e-3)

@@ -1,0 +1,87 @@
+"""End-to-end Simulation driver on CPU: multi-year run with routing,
+annual NetCDF output, prefetch, health check, checkpoint cycle."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid9_tpu.config import Config
+from hybrid9_tpu.data.forcing import (PrefetchingProvider,
+                                      SyntheticForcingProvider)
+from hybrid9_tpu.data.soil import load_soil
+from hybrid9_tpu.io.writer import AnnualWriter, write_init_diagnostics
+from hybrid9_tpu.run import Simulation
+
+
+@pytest.fixture(scope="module")
+def small_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    cfg = Config(resolution_deg=12.0, start_year=1901, end_year=1902,
+                 forcing_block_days=30, cell_block=32, nisurf=8,
+                 output_path=out, use_pallas=False)
+    grid, params = load_soil(cfg)
+    provider = PrefetchingProvider(SyntheticForcingProvider(
+        grid.n_padded, seed=9, lat=grid.cell_lat, dtype=jnp.float32))
+    sim = Simulation(cfg, params, land_grid=grid)
+    writer = AnnualWriter(out, grid)
+    results = sim.run(provider, writer=writer)
+    provider.close()
+    return cfg, grid, sim, results
+
+
+def test_two_year_run_completes(small_run):
+    cfg, grid, sim, results = small_run
+    assert len(results) == 2
+    assert sim.routing is not None          # lateral routing active
+    for m in results:
+        assert float(np.max(m["max_abs_residual"])) < 0.1
+        assert np.all(np.isfinite(m["theta"]))
+
+
+def test_annual_files_written(small_run):
+    cfg, grid, sim, results = small_run
+    from hybrid9_tpu.io import netcdf
+    for year in (1901, 1902):
+        path = os.path.join(cfg.output_path, f"axy{year}.nc")
+        assert os.path.exists(path)
+        back = netcdf.read_grid_file(path, ["tas", "npp", "discharge"])
+        land = ~np.isnan(back["tas"])
+        assert land.sum() == grid.n_land
+        assert 200.0 < np.nanmean(back["tas"]) < 320.0
+
+
+def test_routing_water_appears(small_run):
+    cfg, grid, sim, results = small_run
+    # Some runoff must have been routed into the river network.
+    store = np.asarray(sim.state.river_store)
+    assert np.all(np.isfinite(store))
+    assert float(store.sum()) > 0.0
+    # And some discharged to the ocean over the year.
+    assert float(np.nansum(results[-1]["discharge"])) > 0.0
+
+
+def test_init_diagnostics_file(small_run, tmp_path):
+    cfg, grid, sim, results = small_run
+    path = write_init_diagnostics(str(tmp_path), grid, sim.params,
+                                  n_shards=4)
+    from hybrid9_tpu.io import netcdf
+    back = netcdf.read_grid_file(path, ["psi_s", "land_mask",
+                                        "shard_map"])
+    assert back["psi_s"].shape[-1] == 8
+    assert np.nansum(back["land_mask"]) == grid.n_land
+
+
+def test_checkpoint_cycle(small_run, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from hybrid9_tpu.io.checkpoint import Checkpointer
+    cfg, grid, sim, results = small_run
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(1902, sim.state)
+    ckpt.wait()
+    year, restored = ckpt.restore(sim.state)
+    assert year == 1902
+    np.testing.assert_array_equal(np.asarray(restored.river_store),
+                                  np.asarray(sim.state.river_store))
+    ckpt.close()
