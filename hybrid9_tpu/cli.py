@@ -15,7 +15,6 @@ cluster environment.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 from .utils.logging import get_logger

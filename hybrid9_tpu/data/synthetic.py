@@ -10,8 +10,6 @@ NumPy PRNG so every run (and every host's shard) is reproducible.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..physics import constants as c

@@ -12,8 +12,6 @@ the (lon, lat) grid at output time.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 

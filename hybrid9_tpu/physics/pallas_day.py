@@ -25,11 +25,9 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from . import constants as c
 from .hydrology import Geometry, derive_forcing, substep_values
-from ..state import Forcing, ModelState, SoilParams, SoilState
+from ..state import Forcing, SoilParams, SoilState
 
 # Derived-forcing field order for the kernel's flat argument list.
 _FD_KEYS = ("tak", "rh", "rnet", "par", "forc_rain", "lamb", "huss", "ps")

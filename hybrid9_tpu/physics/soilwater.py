@@ -16,12 +16,12 @@ a few VPU kernels.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax.numpy as jnp
 
 from . import constants as c
-from .layers import select_layer, stack, unstack
+from .layers import select_layer
 
 
 class SoilWaterResult(NamedTuple):

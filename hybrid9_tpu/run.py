@@ -20,7 +20,6 @@ import numpy as np
 
 from . import calendar
 from .config import Config
-from .physics import constants as c
 from .physics.hydrology import Geometry
 from .state import (AnnualAccumulators, Forcing, ModelState, SoilParams,
                     initial_state)

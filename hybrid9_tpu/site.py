@@ -19,7 +19,6 @@ from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 
-from . import calendar
 from .config import Config, LayerGrid
 from .data.synthetic import synthetic_forcing_day, synthetic_soil_params
 from .physics import constants as c

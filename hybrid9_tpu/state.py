@@ -14,8 +14,6 @@ reference exactly (mm, mm/s, K, W/m^2, g, m^2/m^2).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from .physics import constants as c
 from .physics.grow import grow_daily
 from .physics.hydrology import Geometry, derive_forcing, hydrology_substep
-from .state import (AnnualAccumulators, Forcing, ModelState, SoilParams,
-                    SubstepFluxes)
+from .state import (AnnualAccumulators, Forcing, ModelState,
+                    SoilParams)
 
 
 def day_step(state: ModelState, forcing: Forcing, params: SoilParams,

@@ -1,14 +1,12 @@
 """Infrastructure tests: calendar, config, grid pack/scatter, NetCDF I/O,
 forcing providers, checkpointing."""
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from hybrid9_tpu import calendar
-from hybrid9_tpu.config import CANONICAL_ZI_MM, Config, LayerGrid
+from hybrid9_tpu.config import Config, LayerGrid
 from hybrid9_tpu.data.forcing import (PrefetchingProvider,
                                       SyntheticForcingProvider)
 from hybrid9_tpu.grids.grid import (cell_centres, make_land_grid,

@@ -1,0 +1,77 @@
+"""Compiled-HLO communication audit.
+
+The column physics is cell-local: under a sharded cell axis the compiled
+day step must contain NO cross-device communication (the analog of the
+reference's zero compute-phase MPI traffic, SURVEY.md C13).  Routing is
+the single intended exception (its segment-sum may lower to collectives).
+An accidental all-gather in the hot loop would silently destroy scaling —
+this test makes that a hard failure.
+"""
+
+import re
+
+import jax
+import numpy as np
+from hybrid9_tpu.parallel.sharding import CellSharding
+from hybrid9_tpu.step import day_step
+
+_COLLECTIVE_RE = re.compile(
+    r"all-reduce|all-gather|all-to-all|collective-permute|"
+    r"reduce-scatter|collective-broadcast")
+
+
+def _compiled_text(fn, *args):
+    lowered = jax.jit(fn).lower(*args)
+    return lowered.compile().as_text()
+
+
+def test_day_step_has_no_collectives_when_sharded(layer_grid):
+    import __graft_entry__ as ge
+
+    n = 8 * 32
+    _, state, forcing, params, geom, cfg = ge._build(n)
+    cs = CellSharding.create()
+    state = cs.put(state)
+    forcing = cs.put(forcing)
+    params = cs.put(params)
+
+    def fn(state, forcing):
+        st, diags = day_step(state, forcing, params, geom, cfg.dt, 4)
+        return st, diags["max_abs_residual"]
+
+    text = _compiled_text(fn, state, forcing)
+    hits = sorted(set(_COLLECTIVE_RE.findall(text)))
+    assert not hits, (
+        f"sharded day step contains collectives {hits}: the cell-local "
+        "physics should compile communication-free")
+
+
+def test_routing_is_the_only_comm_source(layer_grid):
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from hybrid9_tpu.physics.routing import RoutingParams
+
+    n = 8 * 32
+    _, state, forcing, params, geom, cfg = ge._build(n)
+    cs = CellSharding.create()
+    rng = np.random.RandomState(0)
+    down = rng.randint(0, n + 1, size=n)
+    down = np.where(down == np.arange(n), n, down)
+    routing = RoutingParams(downstream=jnp.asarray(down, jnp.int32),
+                            k=0.2)
+    state = cs.put(state)
+    forcing = cs.put(forcing)
+    params = cs.put(params)
+    routing = RoutingParams(downstream=cs.put(routing.downstream), k=0.2)
+
+    def fn(state, forcing):
+        st, diags = day_step(state, forcing, params, geom, cfg.dt, 4,
+                             routing=routing)
+        return st, diags["discharge"]
+
+    text = _compiled_text(fn, state, forcing)
+    # With routing, communication may appear (the segment-sum) — this
+    # documents that it compiles and runs under sharding either way.
+    st, dis = jax.jit(fn)(state, forcing)
+    assert np.all(np.isfinite(np.asarray(dis)))

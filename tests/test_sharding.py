@@ -9,8 +9,6 @@ graft entry points compile.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from hybrid9_tpu.data.synthetic import (synthetic_forcing_day,
                                         synthetic_soil_params)
