@@ -63,12 +63,17 @@ def cmd_run(args: argparse.Namespace) -> int:
         start_year = year + 1
         cfg = Config(**{**cfg.__dict__, "start_year": start_year})
         log.info("resumed from checkpoint year %d", year)
-    provider = PrefetchingProvider(SyntheticForcingProvider(
-        grid.n_padded, seed=0, lat=grid.cell_lat))
     if cfg.forcing == "pgf" and cfg.forcing_path:
         from .data.forcing import NetCDFForcingProvider
         provider = PrefetchingProvider(NetCDFForcingProvider(
             cfg.forcing_path, grid))
+    elif cfg.forcing == "device-synthetic":
+        from .data.device_forcing import DeviceSyntheticForcingProvider
+        provider = DeviceSyntheticForcingProvider(
+            grid.n_padded, seed=0, lat=grid.cell_lat, sharding=sharding)
+    else:
+        provider = PrefetchingProvider(SyntheticForcingProvider(
+            grid.n_padded, seed=0, lat=grid.cell_lat))
 
     sim = Simulation(cfg, params, state=state, sharding=sharding,
                      land_grid=grid)

@@ -108,7 +108,8 @@ class Config:
     zi_mm: Tuple[float, ...] = CANONICAL_ZI_MM
 
     # --- Forcing (driver.txt:3; READ_PGF.f90) -----------------------------
-    forcing: str = "synthetic"        # "synthetic" | "pgf" | "site".
+    forcing: str = "synthetic"        # "synthetic" | "device-synthetic"
+                                      # | "pgf" | "site".
     forcing_path: Optional[str] = None
     forcing_block_days: int = 366     # Days of forcing resident per block.
 

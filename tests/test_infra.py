@@ -173,3 +173,75 @@ def test_pgf_decade_path():
         == "/d/tas_pgfv2.1_1901_1910.nc4"
     assert pgf_decade_path("/d", "pr", 2011) \
         == "/d/pr_pgfv2.1_2011_2012.nc4"
+
+
+def test_load_soil_from_netcdf(tmp_path):
+    """C4 ingest path: preprocessed soil NetCDF -> LandGrid + SoilParams."""
+    import jax.numpy as jnp
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.grids.grid import cell_centres
+
+    rng = np.random.RandomState(0)
+    lon, lat = cell_centres(12.0)
+    ny, nx = lat.shape[0], lon.shape[0]
+    soil_tex = rng.randint(0, 14, size=(ny, nx)).astype(np.float64)
+    theta_s = rng.uniform(0.3, 0.5, (ny, nx, 8))
+    hksat = rng.uniform(1e-4, 1e-2, (ny, nx, 8))
+    lam = rng.uniform(0.1, 0.4, (ny, nx, 8))
+    psi_s = -rng.uniform(100.0, 700.0, (ny, nx, 8))
+    fmax = rng.uniform(0.1, 0.5, (ny, nx))
+    fmax[0, 0] = np.nan    # missing -> reference default 0.3809
+    path = str(tmp_path / "soil.nc")
+    netcdf.write_grid_file(
+        path,
+        {"soil_tex": soil_tex, "theta_s": theta_s, "hksat": hksat,
+         "lambda": lam, "psi_s": psi_s, "fmax": fmax},
+        lon, lat, layer_dim=8)
+
+    cfg = Config(resolution_deg=12.0, soil_source="netcdf",
+                 soil_path=path, cell_block=32)
+    grid, params = load_soil(cfg)
+    expected_land = ((soil_tex > 0) & (soil_tex != 13)).sum()
+    assert grid.n_land == expected_land
+    assert params.theta_s.shape == (grid.n_padded, 8)
+    # bsw = 1/lambda and the -31 bar residual are derived.
+    np.testing.assert_allclose(
+        np.asarray(params.bsw[:grid.n_land]),
+        1.0 / np.asarray(params.lambda_[:grid.n_land]), rtol=1e-5)
+    tm = np.asarray(params.theta_m[:grid.n_land])
+    assert np.all((tm > 0.0) & (tm < np.asarray(
+        params.theta_s[:grid.n_land])))
+
+
+def test_device_forcing_provider():
+    """On-device synthetic forcing: shapes, ranges, determinism."""
+    from hybrid9_tpu.data.device_forcing import (
+        DeviceSyntheticForcingProvider)
+    p = DeviceSyntheticForcingProvider(48, seed=3)
+    f1 = p(1901, 1, 5)
+    f2 = p(1901, 1, 5)
+    np.testing.assert_array_equal(np.asarray(f1.tas), np.asarray(f2.tas))
+    f3 = p(1902, 1, 5)
+    assert not np.array_equal(np.asarray(f1.tas), np.asarray(f3.tas))
+    for k in ("tas", "rlds", "rsds", "huss", "ps", "pr", "rhs"):
+        v = np.asarray(getattr(f1, k))
+        assert v.shape == (5, 48)
+        assert np.all(np.isfinite(v))
+    assert np.asarray(f1.pr).min() >= 0.0
+
+
+def test_site_lai_waypoints():
+    """Prescribed-LAI phenology (Vaira analog, HYBRID9.f90:380-417):
+    shed foliage moves to the litter layer."""
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.site import run_site
+    cfg = Config(spinup_years=0, nisurf=8)
+    waypoints = {1: 0.88, 59: 1.17, 122: 0.5, 136: 0.001}
+    result = run_site(cfg, lai_waypoints=waypoints)
+    daily = {r["doy"]: r for r in result.daily}
+    # On shed days the litter layer gained the dropped LAI.
+    assert daily[136]["lai_litter"] > daily[121]["lai_litter"] * 0.5
+    assert abs(daily[59]["lai"] - daily[59]["lai"]) == 0.0
+    worst = max(r["max_residual"] for r in result.daily)
+    assert worst < 1e-6
