@@ -27,6 +27,7 @@ ANNUAL_UNITS = {
     "plant_mass": "g[DM] m-2",
     "rnf": "mm s-1",
     "discharge": "mm yr-1",
+    "t_surface": "K",
     "evap": "mm s-1",
     "tas": "K",
     "huss": "kg kg-1",

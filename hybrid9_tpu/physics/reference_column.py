@@ -616,23 +616,42 @@ def grow_daily(state: ColumnState, tas: float, zi: np.ndarray
 
 def run_day(state: ColumnState, p: ColumnParams, f: DailyForcing,
             zi: np.ndarray, dz: np.ndarray, zc: np.ndarray, dt: float,
-            nisurf: int) -> Dict[str, float]:
+            nisurf: int, subdaily=None, grow: bool = True
+            ) -> Dict[str, float]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
     Reference: the innermost loops of the driver (HYBRID9.f90:150-253).
+
+    ``subdaily`` optionally provides per-substep forcing overrides — a
+    list of ``nisurf`` dicts with any of the derived-forcing keys
+    (``tak``, ``rh``, ``rnet``, ``par``, ``forc_rain``, ``lamb``) — the
+    analog of the reference's LCLIM sub-daily rows where observed
+    Rnet/PAR/rain replace the daily derivation (HYBRID9.f90:426-460).
+    ``grow=False`` skips the daily GROW call, as the LCLIM branch does
+    when LAI is prescribed (HYBRID9.f90:473-475).
     """
     fd = derived_forcing(f)
     evap_day = 0.0
     evap_grnd_day = 0.0
     rnf_day = 0.0
     max_resid = 0.0
-    for _ in range(nisurf):
-        fx = hydrology_substep(state, p, fd, zi, dz, zc, dt)
+    for ns in range(nisurf):
+        fd_step = fd
+        if subdaily is not None:
+            fd_step = dict(fd)
+            fd_step.update(subdaily[ns])
+            if "tak" in subdaily[ns] and "lamb" not in subdaily[ns]:
+                fd_step["lamb"] = (2503.0 - 2.386
+                                   * (fd_step["tak"] - c.TF)) * 1.0e3
+        fx = hydrology_substep(state, p, fd_step, zi, dz, zc, dt)
         evap_day += (fx["qflx_evap_grnd"] + fx["qflx_tran_veg"]) * dt
         evap_grnd_day += fx["qflx_evap_grnd"] * dt
         rnf_day += (fx["qflx_surf"] + fx["rsub_top"]) * dt
         max_resid = max(max_resid, abs(fx["residual"]))
-    gx = grow_daily(state, f.tas, zi)
+    if grow:
+        gx = grow_daily(state, f.tas, zi)
+    else:
+        gx = dict(npp=0.0, w_i=0.0, f_t=0.0)
     return dict(evap_day=evap_day, evap_grnd_day=evap_grnd_day,
                 rnf_day=rnf_day, npp=gx["npp"], max_residual=max_resid,
                 w_i=gx["w_i"], f_t=gx["f_t"])

@@ -1,0 +1,121 @@
+"""Prognostic soil-temperature column (surface energy balance closure).
+
+Extension beyond the reference: HYBRID9 computes the surface energy
+partitioning (SW85 net radiation, latent heat, ground heat flux
+G = 0.2 * Rnets, HYDROLOGY.f90:335-339) but discards G — there is no
+prognostic temperature ("Note yet implemented: energy balance",
+HYBRID9.f90:24).  This module closes that loop with a CLM-style implicit
+heat-diffusion column on the same soil layers, driven by the daily-mean
+ground heat flux and solved with the same batched Thomas machinery as
+the water column:
+
+    c_v(theta) dT/dt = d/dz ( k(theta) dT/dz ),   F_top = G,  F_bot = 0
+
+Thermal properties blend dry soil and water with moisture (de
+Vries-style): k = k_dry + (k_sat - k_dry) * Se, c_v = c_solid * (1 -
+theta_s) + c_water * theta.  One implicit solve per model day (G is
+constant within a day because forcing is daily), so the cost is
+negligible next to the 48 hydrology substeps.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+
+from .layers import stack, unstack
+from .soilwater import _thomas_solve
+
+K_DRY = 0.30       # Dry soil thermal conductivity            (W/m/K)
+K_SAT = 1.80       # Saturated soil thermal conductivity      (W/m/K)
+C_SOLID = 2.0e6    # Volumetric heat capacity of soil solids  (J/m^3/K)
+C_WATER = 4.18e6   # Volumetric heat capacity of water        (J/m^3/K)
+
+
+def soil_temperature_step(t_soil: jnp.ndarray, theta: jnp.ndarray,
+                          theta_s: jnp.ndarray, g_flux: jnp.ndarray,
+                          dz_mm, zc_mm, dt: float,
+                          t_air: jnp.ndarray = None,
+                          h_surf: jnp.ndarray = 0.0) -> jnp.ndarray:
+    """One implicit heat-diffusion step.
+
+    Args:
+      t_soil: ``[n, nl]`` layer temperatures (K).
+      theta: ``[n, nl]`` volumetric soil water (-).
+      theta_s: ``[n, nl]`` porosity (-).
+      g_flux: ``[n]`` ground heat flux into the surface (W/m^2,
+        positive downward).
+      dz_mm, zc_mm: static layer geometry (mm, tuples).
+      dt: step length (s), normally one day.
+      t_air: ``[n]`` air temperature (K); with ``h_surf`` > 0 the top
+        layer exchanges sensible heat ``h_surf * (t_air - T_1)``
+        (treated implicitly), anchoring the column to the atmosphere —
+        without it, a standalone G-forced column drifts unboundedly
+        because nothing closes the surface energy balance.
+      h_surf: ``[n]`` or scalar surface exchange conductance (W/m^2/K).
+
+    Returns the updated ``[n, nl]`` temperatures.
+    """
+    nl = t_soil.shape[1]
+    t = unstack(t_soil)
+    th = unstack(theta)
+    ts = unstack(theta_s)
+    dz = [dz_mm[i] / 1000.0 for i in range(nl)]      # m
+    zc = [zc_mm[i] / 1000.0 for i in range(nl)]      # m
+
+    # Moisture-dependent thermal properties per layer.
+    k_l: List[jnp.ndarray] = []
+    cv: List[jnp.ndarray] = []
+    for i in range(nl):
+        se = jnp.clip(th[i] / ts[i], 0.0, 1.0)
+        k_l.append(K_DRY + (K_SAT - K_DRY) * se)
+        cv.append(C_SOLID * (1.0 - ts[i]) + C_WATER * th[i])
+
+    # Interface conductance g_i between nodes i and i+1 (W/m^2/K).
+    g_if: List[jnp.ndarray] = []
+    for i in range(nl - 1):
+        k_int = 0.5 * (k_l[i] + k_l[i + 1])
+        g_if.append(k_int / (zc[i + 1] - zc[i]))
+
+    # Implicit tridiagonal assembly:
+    #   cv_i dz_i / dt (T'_i - T_i) = g_{i-1}(T'_{i-1}-T'_i)
+    #                                 - g_i(T'_i - T'_{i+1}) + [G]_top
+    a: List[jnp.ndarray] = []
+    b: List[jnp.ndarray] = []
+    cc: List[jnp.ndarray] = []
+    r: List[jnp.ndarray] = []
+    for i in range(nl):
+        diag = cv[i] * dz[i] / dt
+        rhs = diag * t[i]
+        lower = g_if[i - 1] if i > 0 else None
+        upper = g_if[i] if i < nl - 1 else None
+        bi = diag
+        if lower is not None:
+            bi = bi + lower
+        if upper is not None:
+            bi = bi + upper
+        if i == 0:
+            rhs = rhs + g_flux
+            if t_air is not None:
+                bi = bi + h_surf
+                rhs = rhs + h_surf * t_air
+        a.append(-lower if lower is not None else jnp.zeros_like(diag))
+        b.append(bi)
+        cc.append(-upper if upper is not None else jnp.zeros_like(diag))
+        r.append(rhs)
+
+    t_new = _thomas_solve(a, b, cc, r)
+    return stack(t_new)
+
+
+def column_energy(t_soil: jnp.ndarray, theta: jnp.ndarray,
+                  theta_s: jnp.ndarray, dz_mm) -> jnp.ndarray:
+    """Column heat content (J/m^2) for conservation diagnostics."""
+    nl = t_soil.shape[1]
+    total = None
+    for i in range(nl):
+        cv = C_SOLID * (1.0 - theta_s[:, i]) + C_WATER * theta[:, i]
+        term = cv * (dz_mm[i] / 1000.0) * t_soil[:, i]
+        total = term if total is None else total + term
+    return total

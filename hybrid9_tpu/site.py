@@ -79,10 +79,40 @@ def read_site_climate_csv(path: str) -> List[ref.DailyForcing]:
     return days
 
 
+def read_site_subdaily_csv(path: str, nisurf: int):
+    """Read sub-daily site climate overrides from CSV.
+
+    Columns (header): ``doy``, ``step`` (1..nisurf), and any of ``tak``
+    [K], ``rh`` [%], ``rnet`` [W/m^2], ``par`` [W/m^2], ``ppt``
+    [mm/substep] — the named-column analog of the reference's positional
+    LCLIM sub-daily rows (HYBRID9.f90:426-460).  Returns
+    ``{doy: [override-dict per substep]}``; ``ppt`` is converted to a
+    rain flux (mm/s).
+    """
+    dt = c.SDAY / nisurf
+    out: Dict[int, list] = {}
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            doy = int(row["doy"])
+            step = int(row["step"]) - 1
+            if doy not in out:
+                out[doy] = [{} for _ in range(nisurf)]
+            ov = {}
+            for k in ("tak", "rh", "rnet", "par"):
+                if row.get(k) not in (None, ""):
+                    ov[k] = float(row[k])
+            if row.get("ppt") not in (None, ""):
+                ov["forc_rain"] = float(row["ppt"]) / dt
+            out[doy][step] = ov
+    return out
+
+
 def run_site(cfg: Config,
              climate: Optional[Iterable[ref.DailyForcing]] = None,
              params: Optional[ref.ColumnParams] = None,
              lai_waypoints: Optional[Dict[int, float]] = None,
+             subdaily: Optional[Dict[int, list]] = None,
+             grow: bool = True,
              csv_out: Optional[str] = None) -> SiteResult:
     """Run the single-column site simulation.
 
@@ -90,7 +120,11 @@ def run_site(cfg: Config,
     years (the reference's iLOOP spin-up, HYBRID9.f90:341).
     ``lai_waypoints`` optionally prescribes LAI on given days-of-year,
     with shed foliage moved to the litter layer exactly as the reference
-    does for the Vaira phenology (HYBRID9.f90:380-417).
+    does for the Vaira phenology (HYBRID9.f90:380-417).  ``subdaily``
+    maps day-of-year to per-substep forcing overrides (see
+    :func:`read_site_subdaily_csv`); ``grow=False`` disables the daily
+    GROW call (the LCLIM mode with prescribed LAI,
+    HYBRID9.f90:473-475).
     """
     grid = cfg.layer_grid()
     nl = grid.nsoil
@@ -125,7 +159,9 @@ def run_site(cfg: Config,
                     state.lai_litter += state.lai - new_lai
                 state.lai = new_lai
             out = ref.run_day(state, params, forcing, zi, dz.copy(),
-                              zc.copy(), dt, cfg.nisurf)
+                              zc.copy(), dt, cfg.nisurf,
+                              subdaily=(subdaily or {}).get(doy),
+                              grow=grow)
             if scored:
                 theta = state.h2osoi[:nl] / dz[:nl]
                 daily.append(dict(

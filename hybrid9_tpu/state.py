@@ -90,13 +90,15 @@ class VegState:
 class ModelState:
     """Full prognostic state: soil + vegetation + river network.
 
-    ``river_store`` is the lateral-routing linear-reservoir store (mm) —
-    new capability beyond the reference (physics/routing.py).
+    ``river_store`` (lateral routing) and ``t_soil`` (prognostic soil
+    temperature, physics/soiltemp.py) are new capabilities beyond the
+    reference.
     """
 
     soil: SoilState
     veg: VegState
     river_store: jax.Array    # [n] River store for routed flow      (mm)
+    t_soil: jax.Array         # [n, nl] Soil temperature column       (K)
 
 
 @struct.dataclass
@@ -147,6 +149,7 @@ class AnnualAccumulators:
 
     npp_sum: jax.Array          # [n] NPP                      (g DM/m^2/yr)
     discharge_sum: jax.Array    # [n] Routed discharge to ocean        (mm)
+    t_surf_sum: jax.Array       # [n] Surface-layer soil temperature    (K)
     plant_mass_sum: jax.Array   # [n] Plant mass                     (g DM)
     rnf_sum: jax.Array          # [n] Runoff                           (mm)
     evap_sum: jax.Array         # [n] Evapotranspiration               (mm)
@@ -167,8 +170,8 @@ class AnnualAccumulators:
               dtype=jnp.float32) -> "AnnualAccumulators":
         z = jnp.zeros((n,), dtype)
         return cls(
-            npp_sum=z, discharge_sum=z, plant_mass_sum=z, rnf_sum=z,
-            evap_sum=z,
+            npp_sum=z, discharge_sum=z, t_surf_sum=z, plant_mass_sum=z,
+            rnf_sum=z, evap_sum=z,
             tas_sum=z, rlds_sum=z, rsds_sum=z, huss_sum=z, ps_sum=z,
             pr_sum=z, rhs_sum=z,
             theta_sum=jnp.zeros((n, nsoil), dtype),
@@ -239,4 +242,5 @@ def initial_state(params: SoilParams, dz_mm: np.ndarray, zi_mm: np.ndarray,
         p_labile=p_labile,
     )
     return ModelState(soil=soil, veg=veg,
-                      river_store=jnp.zeros((n,), dtype))
+                      river_store=jnp.zeros((n,), dtype),
+                      t_soil=jnp.full((n, nsoil), 283.15, dtype))

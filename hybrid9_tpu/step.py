@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from .physics import constants as c
 from .physics.grow import grow_daily
+from .physics.soiltemp import soil_temperature_step
 from .physics.hydrology import Geometry, derive_forcing, hydrology_substep
 from .state import (AnnualAccumulators, Forcing, ModelState,
                     SoilParams)
@@ -51,7 +52,9 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
                      max_abs_residual=pd["max_abs_residual"],
                      npp=npp)
         river, diags = _route(state.river_store, diags, routing)
-        return ModelState(soil=soil, veg=veg, river_store=river), diags
+        t_soil = _soil_temp(state, soil, params, forcing, geom)
+        return ModelState(soil=soil, veg=veg, river_store=river,
+                          t_soil=t_soil), diags
 
     fd = derive_forcing(forcing)
     veg = state.veg
@@ -84,7 +87,32 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         npp=npp,
     )
     river, diags = _route(state.river_store, diags, routing)
-    return ModelState(soil=soil, veg=veg, river_store=river), diags
+    t_soil = _soil_temp(state, soil, params, forcing, geom)
+    return ModelState(soil=soil, veg=veg, river_store=river,
+                      t_soil=t_soil), diags
+
+
+def _soil_temp(state, soil_new, params, forcing, geom):
+    """Daily implicit soil-heat step driven by the SW85 ground heat flux
+    G = 0.2 * Rnet * exp(-0.7 * LAI) (HYDROLOGY.f90:335-339), using the
+    LAI in effect during the day's substeps, plus an implicit sensible
+    exchange h * (tas - T_1) through the SW85 aerodynamic resistance raa
+    (HYDROLOGY.f90:312-318), which anchors the column to the atmosphere
+    so the long-term surface energy balance closes."""
+    lai = state.veg.lai
+    rnet = (0.92 * forcing.rsds + forcing.rlds
+            - c.STBO * forcing.tas ** 4)
+    g_flux = 0.2 * rnet * jnp.exp(-0.7 * lai)
+    raa = jnp.where(lai <= 4.0,
+                    0.25 * lai * 42.0 + 0.25 * (4.0 - lai) * 34.0, 42.0)
+    rho_air = forcing.ps / (c.RGAS * forcing.tas)
+    h_surf = rho_air * c.CP_AIR / jnp.maximum(raa, 1.0)
+    dz = jnp.asarray(geom.dz_soil, soil_new.h2osoi_liq.dtype)
+    theta = soil_new.h2osoi_liq / (dz[None, :] * c.RHOW / 1.0e3)
+    return soil_temperature_step(state.t_soil, theta, params.theta_s,
+                                 g_flux, geom.dz_soil, geom.zc_soil,
+                                 c.SDAY, t_air=forcing.tas,
+                                 h_surf=h_surf)
 
 
 def _route(river_store, diags, routing):
@@ -107,6 +135,7 @@ def _accumulate(acc: AnnualAccumulators, state: ModelState,
     return acc.replace(
         npp_sum=acc.npp_sum + diags["npp"],
         discharge_sum=acc.discharge_sum + diags["discharge"],
+        t_surf_sum=acc.t_surf_sum + state.t_soil[:, 0],
         plant_mass_sum=acc.plant_mass_sum + state.veg.plant_mass,
         rnf_sum=acc.rnf_sum + diags["rnf_day"],
         evap_sum=acc.evap_sum + diags["evap_day"],
@@ -169,6 +198,7 @@ def annual_means(acc: AnnualAccumulators, nisurf: int
     return dict(
         npp=acc.npp_sum,
         discharge=acc.discharge_sum,
+        t_surface=acc.t_surf_sum / nt,
         plant_mass=acc.plant_mass_sum / nt,
         rnf=acc.rnf_sum / (nt * nisurf * (c.SDAY / nisurf)),
         evap=acc.evap_sum / (nt * nisurf * (c.SDAY / nisurf)),

@@ -245,3 +245,34 @@ def test_site_lai_waypoints():
     assert abs(daily[59]["lai"] - daily[59]["lai"]) == 0.0
     worst = max(r["max_residual"] for r in result.daily)
     assert worst < 1e-6
+
+
+def test_site_subdaily_overrides(tmp_path):
+    """LCLIM-style sub-daily forcing overrides drive the column."""
+    import csv as _csv
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.site import read_site_subdaily_csv, run_site
+
+    nisurf = 8
+    path = tmp_path / "subdaily.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["doy", "step", "rnet", "par", "ppt"])
+        for step in range(1, nisurf + 1):
+            # Day 5: strong radiation at midday steps, 2 mm rain each.
+            rnet = 400.0 if 3 <= step <= 6 else -30.0
+            w.writerow([5, step, rnet, max(0.0, rnet) * 2, 2.0])
+    sub = read_site_subdaily_csv(str(path), nisurf)
+    assert set(sub.keys()) == {5}
+    assert sub[5][3]["rnet"] == 400.0
+    assert abs(sub[5][0]["forc_rain"] - 2.0 / (86400 / nisurf)) < 1e-12
+
+    cfg = Config(spinup_years=0, nisurf=nisurf)
+    res_plain = run_site(cfg, grow=False)
+    res_over = run_site(cfg, subdaily=sub, grow=False)
+    d5p = next(r for r in res_plain.daily if r["doy"] == 5)
+    d5o = next(r for r in res_over.daily if r["doy"] == 5)
+    # 16 mm of prescribed rain must wet the surface layer vs baseline.
+    assert d5o["theta1"] > d5p["theta1"]
+    worst = max(r["max_residual"] for r in res_over.daily)
+    assert worst < 1e-6
