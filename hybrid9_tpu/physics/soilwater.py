@@ -157,6 +157,39 @@ def _thomas_solve(a: List[jnp.ndarray], b: List[jnp.ndarray],
     return dw
 
 
+def _tridiag_matvec(a: List[jnp.ndarray], b: List[jnp.ndarray],
+                    cc: List[jnp.ndarray], x: List[jnp.ndarray]
+                    ) -> List[jnp.ndarray]:
+    """y = T x for the tridiagonal (a: sub, b: diag, cc: super)."""
+    n_eq = len(b)
+    y = []
+    for i in range(n_eq):
+        yi = b[i] * x[i]
+        if i > 0:
+            yi = yi + a[i] * x[i - 1]
+        if i < n_eq - 1:
+            yi = yi + cc[i] * x[i + 1]
+        y.append(yi)
+    return y
+
+
+def _thomas_solve_refined(a, b, cc, r) -> List[jnp.ndarray]:
+    """Thomas solve plus one step of iterative refinement.
+
+    The f32 solve loses ~3-4 digits when a near-dry layer drives matric
+    potentials toward the -1e8 clamp (huge dsmpdw entries -> badly
+    scaled rows); one refinement step (solve T e = r - T x, x += e)
+    recovers most of the lost accuracy for ~60 extra elementwise ops —
+    small next to the ~500-op substep.  In float64 the correction is
+    O(1e-16) and parity with the oracle is unaffected.
+    """
+    dw = _thomas_solve(a, b, cc, r)
+    t_dw = _tridiag_matvec(a, b, cc, dw)
+    resid = [r[i] - t_dw[i] for i in range(len(r))]
+    err = _thomas_solve(a, b, cc, resid)
+    return [dw[i] + err[i] for i in range(len(dw))]
+
+
 def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
                       zwt: jnp.ndarray, theta_s: List[jnp.ndarray],
                       hksat: List[jnp.ndarray], psi_s: List[jnp.ndarray],
@@ -256,7 +289,7 @@ def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
     cc[nl] = jnp.zeros_like(dz_aq)
 
     # --- Batched Thomas solve and state update ----------------------------
-    dw = _thomas_solve(a, b, cc, r)
+    dw = _thomas_solve_refined(a, b, cc, r)
     h2osoi_new = [h2osoi[i] + dw[i] * dz_soil[i] for i in range(nl)]
 
     # --- Aquifer recharge (HYDROLOGY.f90:856-904) -------------------------
