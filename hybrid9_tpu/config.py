@@ -138,9 +138,13 @@ class Config:
                                        # None = auto (TPU only).
     pallas_block: int = 1024          # Cells per Pallas VMEM tile.
 
-    # --- Lateral routed flow (new capability; physics/routing.py) ---------
-    lateral_routing: bool = True      # Route runoff through the D8 net.
+    # --- Lateral flow (new capabilities) ----------------------------------
+    lateral_routing: bool = True      # Route runoff through the D8 net
+                                      # (physics/routing.py).
     routing_k: float = 0.2            # Linear-reservoir release per day.
+    lateral_groundwater: bool = False  # Halo-exchange aquifer exchange
+                                       # (physics/lateral.py).
+    lateral_k: float = 1.0e-6         # Groundwater exchange coeff (/day).
 
     def layer_grid(self) -> LayerGrid:
         return LayerGrid.from_interfaces(self.zi_mm)

@@ -69,6 +69,11 @@ class Simulation:
                     downstream, sharding.spec_for(downstream))
             self.routing = RoutingParams(downstream=downstream,
                                          k=cfg.routing_k)
+        self.lateral = None
+        if cfg.lateral_groundwater and land_grid is not None:
+            from .physics.lateral import make_lateral_params
+            self.lateral = make_lateral_params(land_grid,
+                                               k_lat=cfg.lateral_k)
         self.annual_results: List[Dict[str, np.ndarray]] = []
 
     def run_year(self, year: int,
@@ -108,7 +113,8 @@ class Simulation:
             self.state, acc = block_step(
                 self.state, acc, block, self.params, self.geom,
                 cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
-                pallas_block=cfg.pallas_block, routing=self.routing)
+                pallas_block=cfg.pallas_block, routing=self.routing,
+                lateral=self.lateral)
             doy += nblk
 
         means = annual_means(acc, cfg.nisurf)

@@ -30,7 +30,7 @@ from .state import (AnnualAccumulators, Forcing, ModelState,
 def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              geom: Geometry, dt: float, nisurf: int,
              use_pallas: bool = False, pallas_block: int = 1024,
-             routing=None
+             routing=None, lateral=None
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -52,6 +52,7 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
                      max_abs_residual=pd["max_abs_residual"],
                      npp=npp)
         river, diags = _route(state.river_store, diags, routing)
+        soil = _lateral(soil, lateral)
         t_soil = _soil_temp(state, soil, params, forcing, geom)
         return ModelState(soil=soil, veg=veg, river_store=river,
                           t_soil=t_soil), diags
@@ -87,9 +88,20 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         npp=npp,
     )
     river, diags = _route(state.river_store, diags, routing)
+    soil = _lateral(soil, lateral)
     t_soil = _soil_temp(state, soil, params, forcing, geom)
     return ModelState(soil=soil, veg=veg, river_store=river,
                       t_soil=t_soil), diags
+
+
+def _lateral(soil, lateral):
+    """Daily halo-exchange groundwater redistribution
+    (physics/lateral.py), applied to the aquifer store."""
+    if lateral is None:
+        return soil
+    from .physics.lateral import lateral_groundwater_step
+    wa_new, _ = lateral_groundwater_step(soil.wa, soil.zwt, lateral)
+    return soil.replace(wa=wa_new)
 
 
 def _soil_temp(state, soil_new, params, forcing, geom):
@@ -165,7 +177,7 @@ def _accumulate(acc: AnnualAccumulators, state: ModelState,
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
-               pallas_block: int = 1024, routing=None
+               pallas_block: int = 1024, routing=None, lateral=None
                ) -> Tuple[ModelState, AnnualAccumulators]:
     """Scan the day step over a ``[days, n]`` forcing block.
 
@@ -179,7 +191,8 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
         st, ac = carry
         st, diags = day_step(st, f_day, params, geom, dt, nisurf,
                              use_pallas=use_pallas,
-                             pallas_block=pallas_block, routing=routing)
+                             pallas_block=pallas_block, routing=routing,
+                             lateral=lateral)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         return (st, ac), None
 
