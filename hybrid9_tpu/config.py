@@ -141,7 +141,11 @@ class Config:
     # --- Lateral flow (new capabilities) ----------------------------------
     lateral_routing: bool = True      # Route runoff through the D8 net
                                       # (physics/routing.py).
+    routing_scheme: str = "linear"    # "linear" (daily reservoir) or
+                                      # "kinematic" (sub-daily wave).
     routing_k: float = 0.2            # Linear-reservoir release per day.
+    routing_substeps: int = 8         # Kinematic transfer steps per day.
+    routing_celerity: float = 0.8     # Kinematic ref celerity c0 (m/s).
     lateral_groundwater: bool = False  # Halo-exchange aquifer exchange
                                        # (physics/lateral.py).
     lateral_k: float = 1.0e-6         # Groundwater exchange coeff (/day).

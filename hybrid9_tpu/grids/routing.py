@@ -63,6 +63,44 @@ def synthetic_elevation(land_mask: np.ndarray, seed: int = 0
     return relief + 30.0 * dist
 
 
+# Metres per degree of great-circle arc (R = 6.371e6 m).
+_M_PER_DEG = 6.371e6 * np.pi / 180.0
+
+
+def flow_length_m(grid: LandGrid, downstream: np.ndarray) -> np.ndarray:
+    """Per-cell D8 hop distance to the downstream cell ([n_padded], m).
+
+    The physical length scale for kinematic-wave timing: cardinal hops are
+    one cell size, diagonal hops sqrt(2) longer, and the east-west size
+    shrinks with cos(latitude).  Outlet-draining cells (downstream ==
+    n_padded) get their own cell's diagonal as the run-out length; padding
+    cells get 1 m (never used — they hold no water).
+    """
+    nx, ny = grid.nx, grid.ny
+    res = grid.resolution_deg
+    n = grid.n_land
+    ys = grid.land_idx // nx
+    xs = grid.land_idx % nx
+    lat = grid.lat[ys]
+    dy_m = res * _M_PER_DEG
+    dx_m = res * _M_PER_DEG * np.cos(np.deg2rad(lat))
+
+    down = np.asarray(downstream[:n], np.int64)
+    internal = down < n
+    di = np.where(internal, down, 0)
+    yd, xd = grid.land_idx[di] // nx, grid.land_idx[di] % nx
+    ddy = np.abs(yd - ys)
+    ddx = np.abs(xd - xs)
+    ddx = np.minimum(ddx, nx - ddx)          # longitude wrap
+    hop = np.sqrt((ddy * dy_m) ** 2 + (ddx * dx_m) ** 2)
+    runout = np.sqrt(dy_m ** 2 + dx_m ** 2)  # outlet cells: own diagonal
+    length = np.where(internal, hop, runout)
+
+    out = np.ones(grid.n_padded, np.float64)
+    out[:n] = np.maximum(length, 1.0)
+    return out.astype(np.float32)
+
+
 def build_downstream_index(grid: LandGrid,
                            elevation: np.ndarray | None = None,
                            seed: int = 0) -> np.ndarray:
@@ -108,3 +146,32 @@ def build_downstream_index(grid: LandGrid,
     self_loop = downstream[:grid.n_land] == np.arange(grid.n_land)
     downstream[:grid.n_land][self_loop] = grid.n_padded
     return downstream.astype(np.int32)
+
+
+def direction_codes(grid: LandGrid, downstream: np.ndarray) -> np.ndarray:
+    """D8 direction code per grid cell for the dense halo formulation.
+
+    Returns ``[ny, nx] int32``: for land cells, the index 0..7 into the
+    D8 offset table of the direction the cell drains, or 8 where it
+    drains to the ocean outlet; ocean cells get -1.  This is the dense
+    dual of the packed ``downstream`` map, used by the roll/ppermute
+    routing step (physics/routing.py route_kinematic_day_grid).
+    """
+    nx, ny, n = grid.nx, grid.ny, grid.n_land
+    codes = np.full(ny * nx, -1, np.int32)
+    ys = grid.land_idx // nx
+    xs = grid.land_idx % nx
+    down = np.asarray(downstream[:n], np.int64)
+    internal = down < n
+    di = np.where(internal, down, 0)
+    yd, xd = grid.land_idx[di] // nx, grid.land_idx[di] % nx
+    ddy = yd - ys
+    ddx = xd - xs
+    # Longitude wrap: map +-(nx-1) back to -+1.
+    ddx = np.where(ddx > nx // 2, ddx - nx, ddx)
+    ddx = np.where(ddx < -(nx // 2), ddx + nx, ddx)
+    code = np.full(n, 8, np.int32)
+    for k, (dy, dx) in enumerate(_D8):
+        code = np.where(internal & (ddy == dy) & (ddx == dx), k, code)
+    codes[grid.land_idx] = code
+    return codes.reshape(ny, nx)

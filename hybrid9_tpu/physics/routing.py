@@ -1,25 +1,46 @@
-"""Lateral routed flow: daily linear-reservoir river routing.
+"""Lateral routed flow: river routing over the D8 network.
 
 NEW capability beyond the reference (SURVEY.md C14: the reference has no
 inter-cell physics; lateral/routed flow is a build goal from
-BASELINE.json).  Each cell carries a river store S (mm over the cell);
-every day it receives the cell's own runoff (surface + baseflow, the
-``rnf_day`` diagnostic) plus the previous day's outflow of its upstream
-neighbours, and releases ``k * S`` downstream:
+BASELINE.json).  Each cell carries a river store S (mm over the cell)
+that receives the cell's own runoff (surface + baseflow, the ``rnf_day``
+diagnostic) plus inflow from upstream neighbours, and releases water
+downstream.  Two schemes:
 
-    out_i   = k * S_i
-    S_i'    = S_i + local_i + sum_{j: down(j)=i} out_j - out_i
+1. **Daily linear reservoir** (``route_daily``): out = k * S once per
+   day.  The one-day lag on inter-cell transfer makes the update
+   order-free — a single segment-sum over the downstream-index map
+   (grids/routing.py), no topological sort.  Simple, but water moves at
+   most one cell per day, so continental travel times are wrong at high
+   resolution.
 
-The one-day lag on inter-cell transfer makes the update order-free — a
-single segment-sum over the downstream-index map (grids/routing.py), with
-no topological sort.  Under a sharded cell axis the segment-sum lowers to
-XLA collectives, the GSPMD analog of a halo exchange; water leaving the
-network at ocean outlets is the discharge diagnostic.  Mass is conserved
-exactly: sum(S') - sum(S) = sum(local) - discharge.
+2. **Sub-daily kinematic wave** (``route_kinematic_day``): ``n_substeps``
+   transfer steps per day with a storage-dependent wave celerity
+
+       c_i = clip(c0 * (S_i / s_ref)^beta, c_min, c_max)   (m/s)
+       f_i = min(1, c_i * dt_r / L_i)                      per substep
+       out_i = f_i * S_i
+
+   where L_i is the physical D8 hop length (grids/routing.py
+   flow_length_m).  Water traverses up to ``n_substeps`` cells per day
+   at a resolution-independent physical speed, and the celerity rises
+   with storage as in kinematic-wave theory (c = dQ/dA; beta ~ 0.6 for
+   Manning channels).  f <= 1 is the CFL bound, so the scheme is
+   unconditionally stable and exactly conservative.
+
+Both are order-free segment-sums over the downstream map; under a
+sharded cell axis XLA lowers them to collectives, the GSPMD analog of a
+halo exchange.  ``route_kinematic_day_grid`` is the same kinematic step
+in dense [ny, nx] form with ``jnp.roll`` neighbour shifts — under a 2-D
+``NamedSharding`` of the grid the rolls become collective-permutes,
+i.e. true ICI halo exchanges between devices owning adjacent blocks.
+Mass is conserved exactly in every scheme:
+sum(S') - sum(S) = sum(local) - discharge.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax
@@ -55,3 +76,142 @@ def route_daily(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
     to_ocean = routing.downstream >= n
     discharge = jnp.where(to_ocean, out, 0.0)
     return new_store, discharge
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KinematicParams:
+    """Sub-daily kinematic-wave routing parameters.
+
+    Array fields are pytree data; the scalars are static metadata so
+    ``n_substeps`` can drive a ``lax.scan`` length under jit.
+    """
+
+    downstream: jnp.ndarray           # [n] int32 packed downstream index
+    flow_length: jnp.ndarray          # [n] D8 hop length (m)
+    n_substeps: int = dataclasses.field(default=8,
+                                        metadata=dict(static=True))
+    c0: float = dataclasses.field(default=0.8,      # ref celerity (m/s)
+                                  metadata=dict(static=True))
+    s_ref: float = dataclasses.field(default=20.0,  # ref store (mm)
+                                     metadata=dict(static=True))
+    beta: float = dataclasses.field(default=0.6,    # celerity exponent
+                                    metadata=dict(static=True))
+    c_min: float = dataclasses.field(default=0.05,  # m/s
+                                     metadata=dict(static=True))
+    c_max: float = dataclasses.field(default=3.0,   # m/s
+                                     metadata=dict(static=True))
+
+
+def _celerity_fraction(store, flow_length, dt_r, c0, s_ref, beta, c_min,
+                       c_max):
+    """CFL-bounded per-substep transfer fraction f = min(1, c dt / L)."""
+    s = jnp.maximum(store, 0.0) / s_ref
+    c = jnp.clip(c0 * jnp.power(s + 1e-12, beta), c_min, c_max)
+    return jnp.minimum(1.0, c * dt_r / flow_length)
+
+
+def route_kinematic_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
+                        p: KinematicParams
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One day of sub-daily kinematic-wave routing.
+
+    Args:
+      store: ``[n]`` river store (mm).
+      local_runoff_mm: ``[n]`` the day's local runoff (mm), injected
+        evenly across the substeps.
+      p: network + wave parameters.
+
+    Returns ``(new_store, discharge)``; ``discharge`` is the ``[n]``
+    water delivered to the ocean outlet by each cell over the day (mm).
+    """
+    n = store.shape[0]
+    dt_r = 86400.0 / p.n_substeps
+    local_sub = local_runoff_mm / p.n_substeps
+    to_ocean = p.downstream >= n
+
+    def substep(carry, _):
+        s, dis = carry
+        out = _celerity_fraction(s, p.flow_length, dt_r, p.c0, p.s_ref,
+                                 p.beta, p.c_min, p.c_max) * s
+        inflow = jax.ops.segment_sum(out, p.downstream,
+                                     num_segments=n + 1)[:n]
+        s = s + local_sub + inflow - out
+        dis = dis + jnp.where(to_ocean, out, 0.0)
+        return (s, dis), None
+
+    (store, discharge), _ = jax.lax.scan(
+        substep, (store, jnp.zeros_like(store)), None,
+        length=p.n_substeps)
+    return store, discharge
+
+
+# D8 offsets (dy, dx) — must match grids/routing.py _D8 order.
+_D8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+       (1, 1))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridKinematicParams:
+    """Dense-grid (halo-exchange) form of the kinematic-wave router.
+
+    ``dir_code[ny, nx]``: 0..7 = index into the D8 offset table of the
+    draining direction, 8 = drains to the ocean outlet, -1 = ocean (from
+    grids/routing.py direction_codes).  Under a 2-D ``NamedSharding`` of
+    (lat, lon) the per-direction ``jnp.roll``s lower to
+    collective-permutes — genuine halo exchanges over ICI.
+    """
+
+    dir_code: jnp.ndarray             # [ny, nx] int32
+    flow_length: jnp.ndarray          # [ny, nx] hop length (m)
+    n_substeps: int = dataclasses.field(default=8,
+                                        metadata=dict(static=True))
+    c0: float = dataclasses.field(default=0.8,
+                                  metadata=dict(static=True))
+    s_ref: float = dataclasses.field(default=20.0,
+                                     metadata=dict(static=True))
+    beta: float = dataclasses.field(default=0.6,
+                                    metadata=dict(static=True))
+    c_min: float = dataclasses.field(default=0.05,
+                                     metadata=dict(static=True))
+    c_max: float = dataclasses.field(default=3.0,
+                                     metadata=dict(static=True))
+
+
+def route_kinematic_day_grid(store: jnp.ndarray, local_mm: jnp.ndarray,
+                             p: GridKinematicParams
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense [ny, nx] kinematic-wave day step via roll halo exchanges.
+
+    Semantically identical to ``route_kinematic_day`` on the packed axis
+    (same topology, same celerity law); exists so a 2-D block-sharded
+    configuration exchanges water through ppermute halos instead of a
+    global segment-sum.  Longitude wraps (real — the grid is periodic in
+    lon); D8 never crosses the poles because direction codes are built
+    with latitude clamped (grids/routing.py build_downstream_index).
+    Returns ``(new_store, discharge)`` as [ny, nx] fields.
+    """
+    land = p.dir_code >= 0
+    dt_r = 86400.0 / p.n_substeps
+    local_sub = jnp.where(land, local_mm / p.n_substeps, 0.0)
+
+    def substep(carry, _):
+        s, dis = carry
+        frac = _celerity_fraction(s, p.flow_length, dt_r, p.c0, p.s_ref,
+                                  p.beta, p.c_min, p.c_max)
+        out = jnp.where(land, frac * s, 0.0)
+        inflow = jnp.zeros_like(s)
+        for k, (dy, dx) in enumerate(_D8):
+            # Cells with code k send `out` to the (dy, dx) neighbour:
+            # shift their outflow by (+dy, +dx).
+            contrib = jnp.where(p.dir_code == k, out, 0.0)
+            inflow = inflow + jnp.roll(jnp.roll(contrib, dy, 0), dx, 1)
+        s = s + local_sub + jnp.where(land, inflow, 0.0) - out
+        dis = dis + jnp.where(p.dir_code == 8, out, 0.0)
+        return (s, dis), None
+
+    (store, discharge), _ = jax.lax.scan(
+        substep, (store, jnp.zeros_like(store)), None,
+        length=p.n_substeps)
+    return store, discharge

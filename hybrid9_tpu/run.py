@@ -60,15 +60,26 @@ class Simulation:
             self.use_pallas = cfg.use_pallas
         self.routing = None
         if cfg.lateral_routing and land_grid is not None:
-            from .grids.routing import build_downstream_index
-            from .physics.routing import RoutingParams
-            downstream = jnp.asarray(
-                build_downstream_index(land_grid), jnp.int32)
+            from .grids.routing import (build_downstream_index,
+                                        flow_length_m)
+            from .physics.routing import KinematicParams, RoutingParams
+            down_np = build_downstream_index(land_grid)
+            downstream = jnp.asarray(down_np, jnp.int32)
             if sharding is not None:
                 downstream = jax.device_put(
                     downstream, sharding.spec_for(downstream))
-            self.routing = RoutingParams(downstream=downstream,
-                                         k=cfg.routing_k)
+            if cfg.routing_scheme == "kinematic":
+                length = jnp.asarray(flow_length_m(land_grid, down_np))
+                if sharding is not None:
+                    length = jax.device_put(
+                        length, sharding.spec_for(length))
+                self.routing = KinematicParams(
+                    downstream=downstream, flow_length=length,
+                    n_substeps=cfg.routing_substeps,
+                    c0=cfg.routing_celerity)
+            else:
+                self.routing = RoutingParams(downstream=downstream,
+                                             k=cfg.routing_k)
         self.lateral = None
         if cfg.lateral_groundwater and land_grid is not None:
             from .physics.lateral import make_lateral_params

@@ -128,13 +128,17 @@ def _soil_temp(state, soil_new, params, forcing, geom):
 
 
 def _route(river_store, diags, routing):
-    """Daily lateral routing of the day's runoff (physics/routing.py)."""
+    """Daily lateral routing of the day's runoff (physics/routing.py):
+    a daily linear reservoir (RoutingParams) or sub-daily kinematic wave
+    (KinematicParams), dispatched on the params type."""
     if routing is None:
         diags = dict(diags, discharge=jnp.zeros_like(river_store))
         return river_store, diags
-    from .physics.routing import route_daily
-    new_store, discharge = route_daily(river_store, diags["rnf_day"],
-                                       routing)
+    from .physics.routing import (KinematicParams, route_daily,
+                                  route_kinematic_day)
+    route = (route_kinematic_day if isinstance(routing, KinematicParams)
+             else route_daily)
+    new_store, discharge = route(river_store, diags["rnf_day"], routing)
     return new_store, dict(diags, discharge=discharge)
 
 

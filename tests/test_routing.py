@@ -7,9 +7,13 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from hybrid9_tpu.grids.grid import make_land_grid, synthetic_land_mask
-from hybrid9_tpu.grids.routing import build_downstream_index
+from hybrid9_tpu.grids.routing import (build_downstream_index,
+                                       direction_codes, flow_length_m)
 from hybrid9_tpu.parallel.sharding import CellSharding
-from hybrid9_tpu.physics.routing import RoutingParams, route_daily
+from hybrid9_tpu.physics.routing import (GridKinematicParams,
+                                         KinematicParams, RoutingParams,
+                                         route_daily, route_kinematic_day,
+                                         route_kinematic_day_grid)
 
 
 def _grid():
@@ -92,6 +96,171 @@ def test_routing_under_sharding():
                                np.asarray(ref_store), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_dis), np.asarray(ref_dis),
                                rtol=1e-6)
+
+
+def _kin_params(grid, **kw):
+    down = build_downstream_index(grid)
+    return KinematicParams(
+        downstream=jnp.asarray(down, jnp.int32),
+        flow_length=jnp.asarray(flow_length_m(grid, down)), **kw)
+
+
+def test_flow_length_physical():
+    """Hop lengths are one cell size, scaled by cos(lat), sqrt(2) on
+    diagonals."""
+    grid = _grid()
+    down = build_downstream_index(grid)
+    length = np.asarray(flow_length_m(grid, down))
+    res_m = 4.0 * 6.371e6 * np.pi / 180.0     # 4-degree cells
+    # All lengths positive and bounded by one diagonal at the equator.
+    assert np.all(length > 0.0)
+    assert np.all(length[:grid.n_land] <= res_m * np.sqrt(2.0) * 1.001)
+    # Cells at high latitude have shorter E-W hops than equatorial ones.
+    lat = grid.cell_lat[:grid.n_land]
+    ll = length[:grid.n_land]
+    assert ll[np.abs(lat) > 60].mean() < ll[np.abs(lat) < 20].mean()
+
+
+def test_kinematic_conserves_mass():
+    grid = _grid()
+    p = _kin_params(grid, n_substeps=6)
+    n = grid.n_padded
+    rng = np.random.RandomState(5)
+    store = jnp.asarray(rng.rand(n) * 10.0)
+    step = jax.jit(route_kinematic_day)
+    total_in = total_out = 0.0
+    s0 = float(jnp.sum(store))
+    for day in range(20):
+        local = jnp.asarray(rng.rand(n) * 2.0)
+        store, dis = step(store, local, p)
+        total_in += float(jnp.sum(local))
+        total_out += float(jnp.sum(dis))
+    s1 = float(jnp.sum(store))
+    np.testing.assert_allclose(s1 - s0, total_in - total_out, rtol=1e-6)
+    assert total_out > 0.0
+    assert np.all(np.asarray(store) >= -1e-7)
+
+
+def test_kinematic_multi_cell_per_day():
+    """A flood pulse traverses n_substeps cells in one day when the CFL
+    fraction saturates — the physics the daily linear reservoir cannot
+    represent (one cell/day max)."""
+    n, m = 16, 8
+    down = np.arange(1, n + 1)
+    dt_r = 86400.0 / m
+    p = KinematicParams(
+        downstream=jnp.asarray(down, jnp.int32),
+        flow_length=jnp.full(n, 0.5 * 3.0 * dt_r, jnp.float32),
+        n_substeps=m, c0=100.0)        # clamps at c_max -> f = 1
+    store = jnp.zeros(n).at[0].set(7.0)
+    s, dis = jax.jit(route_kinematic_day)(store, jnp.zeros(n), p)
+    s = np.asarray(s)
+    assert s[m] == 7.0 and np.sum(np.abs(s)) == 7.0
+    # Low-flow limit: tiny store moves at c_min, much less than a cell.
+    p_dry = KinematicParams(
+        downstream=jnp.asarray(down, jnp.int32),
+        flow_length=jnp.full(n, 50000.0, jnp.float32), n_substeps=m)
+    s2, _ = jax.jit(route_kinematic_day)(
+        jnp.zeros(n).at[0].set(0.01), jnp.zeros(n), p_dry)
+    assert np.asarray(s2)[0] > 0.005   # most water stayed put
+
+
+def test_grid_kinematic_matches_packed():
+    """The dense roll/halo formulation is numerically identical to the
+    packed segment-sum formulation on the same network."""
+    grid = _grid()
+    down = build_downstream_index(grid)
+    length = flow_length_m(grid, down)
+    p_packed = KinematicParams(
+        downstream=jnp.asarray(down, jnp.int32),
+        flow_length=jnp.asarray(length), n_substeps=4)
+
+    codes = direction_codes(grid, down)
+    length_g = grid.scatter(length, fill=1.0)
+    p_grid = GridKinematicParams(
+        dir_code=jnp.asarray(codes),
+        flow_length=jnp.asarray(length_g, jnp.float32), n_substeps=4)
+
+    rng = np.random.RandomState(6)
+    store = (rng.rand(grid.n_padded) * 10.0).astype(np.float32)
+    store[grid.n_land:] = 0.0
+    local = (rng.rand(grid.n_padded) * 3.0).astype(np.float32)
+    local[grid.n_land:] = 0.0
+
+    s_p, d_p = jax.jit(route_kinematic_day)(
+        jnp.asarray(store), jnp.asarray(local), p_packed)
+
+    store_g = grid.scatter(store, fill=0.0)
+    local_g = grid.scatter(local, fill=0.0)
+    s_g, d_g = jax.jit(route_kinematic_day_grid)(
+        jnp.asarray(store_g), jnp.asarray(local_g), p_grid)
+
+    np.testing.assert_allclose(
+        np.asarray(s_g.reshape(-1)[grid.land_idx]),
+        np.asarray(s_p)[:grid.n_land], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(jnp.sum(d_g)), float(jnp.sum(d_p)), rtol=1e-5)
+
+
+def test_grid_kinematic_2d_sharded_halo():
+    """Under a 2-D (lat, lon) block sharding the dense router exchanges
+    water through collective-permute halos and matches the unsharded
+    result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    # 2-degree grid: [90, 180] divides the (2, 4) device mesh evenly.
+    mask = synthetic_land_mask(resolution_deg=2.0, seed=1)
+    grid = make_land_grid(mask, 2.0, pad_multiple=64)
+    down = build_downstream_index(grid)
+    codes = direction_codes(grid, down)
+    length_g = grid.scatter(flow_length_m(grid, down), fill=1.0)
+    p = GridKinematicParams(
+        dir_code=jnp.asarray(codes),
+        flow_length=jnp.asarray(length_g, jnp.float32), n_substeps=4)
+
+    rng = np.random.RandomState(7)
+    store = grid.scatter(
+        (rng.rand(grid.n_padded) * 10.0).astype(np.float32), fill=0.0)
+    local = grid.scatter(
+        (rng.rand(grid.n_padded) * 2.0).astype(np.float32), fill=0.0)
+    ref_s, ref_d = jax.jit(route_kinematic_day_grid)(
+        jnp.asarray(store), jnp.asarray(local), p)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("lat", "lon"))
+    sh = NamedSharding(mesh, P("lat", "lon"))
+    args = (jax.device_put(jnp.asarray(store), sh),
+            jax.device_put(jnp.asarray(local), sh),
+            GridKinematicParams(
+                dir_code=jax.device_put(p.dir_code, sh),
+                flow_length=jax.device_put(p.flow_length, sh),
+                n_substeps=4))
+    fn = jax.jit(route_kinematic_day_grid)
+    hlo = fn.lower(*args).compile().as_text()
+    assert "collective-permute" in hlo, (
+        "2-D sharded routing should lower rolls to halo exchanges")
+    s, d = fn(*args)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_day_step_with_kinematic_routing(layer_grid):
+    """day_step dispatches KinematicParams through _route."""
+    import __graft_entry__ as ge
+    from hybrid9_tpu.step import day_step
+
+    step_fn, state, forcing, params, geom, cfg = ge._build(256)
+    down = np.full(256, 256, np.int64)
+    down[:255] = np.arange(255) + 1
+    routing = KinematicParams(
+        downstream=jnp.asarray(down, jnp.int32),
+        flow_length=jnp.full(256, 50000.0, jnp.float32), n_substeps=4)
+    st, diags = day_step(state, forcing, params, geom, cfg.dt,
+                         cfg.nisurf, routing=routing)
+    assert "discharge" in diags
+    assert np.all(np.isfinite(np.asarray(st.river_store)))
 
 
 def test_day_step_with_routing(layer_grid):

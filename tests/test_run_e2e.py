@@ -85,3 +85,20 @@ def test_checkpoint_cycle(small_run, tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.river_store),
                                   np.asarray(sim.state.river_store))
     ckpt.close()
+
+
+def test_one_year_kinematic_routing(tmp_path):
+    """Simulation with routing_scheme='kinematic' runs and discharges."""
+    cfg = Config(resolution_deg=12.0, start_year=1901, end_year=1901,
+                 forcing_block_days=30, cell_block=32, nisurf=8,
+                 output_path=str(tmp_path), use_pallas=False,
+                 routing_scheme="kinematic", routing_substeps=4)
+    grid, params = load_soil(cfg)
+    provider = SyntheticForcingProvider(
+        grid.n_padded, seed=9, lat=grid.cell_lat, dtype=jnp.float32)
+    sim = Simulation(cfg, params, land_grid=grid)
+    from hybrid9_tpu.physics.routing import KinematicParams
+    assert isinstance(sim.routing, KinematicParams)
+    results = sim.run(provider)
+    assert float(np.max(results[0]["max_abs_residual"])) < 0.1
+    assert float(np.sum(results[0]["discharge"])) > 0.0
