@@ -60,7 +60,11 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
     jwt = water_table_index(zwt, zi)
     below = jwt == nl
     in_col = jnp.logical_not(below)
-    rous = _specific_yield(theta_s[-1], psi_s[-1], bsw[-1], zwtmm)
+    # Per-layer specific yields at the stale zwtmm, computed once and
+    # shared by rous and both table walks (one pow per layer, not three).
+    s_y_stale = [_specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
+                 for i in range(nl)]
+    rous = s_y_stale[nl - 1]
 
     # Below the column: recharge moves the aquifer store directly.
     wa_b = wa + qcharge * dt
@@ -77,7 +81,7 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
     rem = jnp.where(rising, qtot, 0.0)
     for i in range(nl - 1, -1, -1):
         act = rising & (i <= jwt) & (rem > 0.0)
-        s_y = _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
+        s_y = s_y_stale[i]
         ql = jnp.maximum(jnp.minimum(rem, s_y * (zwtmm - zi[i])), 0.0)
         zwt_w = jnp.where(act, zwt_w - ql / s_y / 1000.0, zwt_w)
         rem = jnp.where(act, rem - ql, rem)
@@ -86,7 +90,7 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
     rem_f = jnp.where(falling, qtot, 0.0)
     for i in range(nl):
         act = falling & (i >= jwt) & (rem_f < 0.0)
-        s_y = _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
+        s_y = s_y_stale[i]
         ql = jnp.minimum(jnp.maximum(rem_f, -s_y * (zi[i + 1] - zwtmm)),
                          0.0)
         rem_new = rem_f - ql
@@ -110,7 +114,9 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
     # --- Baseflow (HYDROLOGY.f90:1013-1123) -------------------------------
     zwtmm1 = 1000.0 * zwt1
     rsub_top = c.RSUB_TOP_MAX * jnp.exp(-c.FFF * zwt1)
-    rous1 = _specific_yield(theta_s[-1], psi_s[-1], bsw[-1], zwtmm1)
+    s_y_1 = [_specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm1)
+             for i in range(nl)]
+    rous1 = s_y_1[nl - 1]
     below1 = jwt1 == nl
     in_col1 = jnp.logical_not(below1)
     zero = jnp.zeros_like(zwt)
@@ -131,7 +137,7 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
     zwt_w1 = zwt1
     for i in range(nl):
         act = in_col1 & (i >= jwt1) & (rem_b < 0.0)
-        s_y = _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm1)
+        s_y = s_y_1[i]
         ql = jnp.minimum(jnp.maximum(rem_b, -(s_y * (zi[i + 1] - zwtmm1))),
                          0.0)
         h[i] = h[i] + jnp.where(act, ql, 0.0)

@@ -67,12 +67,18 @@ def _equilibrium_profile(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
         expo = 1.0 - 1.0 / bs
         neg_psi = -ps
 
+        # The "table inside" and "table below" branches both raise
+        # (neg_psi + zwtmm - zlo)/neg_psi to expo, under exclusive masks;
+        # one shared pow serves both (lanes outside either mask get base
+        # 1.0, and their branch values are discarded by the final select).
+        base_lo = jnp.where(mask_in | mask_below,
+                            (neg_psi + zwtmm - zlo) / neg_psi, 1.0)
+        temp0_lo = base_lo ** expo
+
         # Table inside the layer: blend saturated part below the table
         # with the equilibrium solution above it.
-        base_in = jnp.where(mask_in, (neg_psi + zwtmm - zlo) / neg_psi, 1.0)
-        temp0_in = base_in ** expo
         den_in = jnp.where(mask_in, zwtmm - zlo, 1.0)
-        voleq1 = ps * ts / (1.0 - 1.0 / bs) / den_in * (1.0 - temp0_in)
+        voleq1 = ps * ts / (1.0 - 1.0 / bs) / den_in * (1.0 - temp0_lo)
         vol_in = (voleq1 * (zwtmm - zlo) + ts * (zhi - zwtmm)) \
             / (zhi - zlo)
         vol_in = jnp.maximum(jnp.minimum(ts, vol_in), 0.0)
@@ -80,10 +86,8 @@ def _equilibrium_profile(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
         # Table below the layer: closed-form layer average.
         base_hi = jnp.where(mask_below,
                             (neg_psi + zwtmm - zhi) / neg_psi, 1.0)
-        base_lo = jnp.where(mask_below,
-                            (neg_psi + zwtmm - zlo) / neg_psi, 1.0)
         vol_below = ps * ts / (1.0 - 1.0 / bs) / (zhi - zlo) \
-            * (base_hi ** expo - base_lo ** expo)
+            * (base_hi ** expo - temp0_lo)
         vol_below = jnp.minimum(ts, jnp.maximum(vol_below, 0.0))
 
         vol_eq = jnp.where(mask_sat, ts,
