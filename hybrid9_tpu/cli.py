@@ -42,6 +42,16 @@ def cmd_run(args: argparse.Namespace) -> int:
     if args.years:
         cfg = Config(**{**cfg.__dict__, "start_year": args.years[0],
                         "end_year": args.years[1]})
+    if args.focus:
+        # INTERACTIVE mode: "--focus site-name" or "--focus lon,lat"
+        # (the reference's focus-point debug mode, driver.txt:28-60).
+        from .site import DEBUG_SITES
+        if args.focus in DEBUG_SITES:
+            lon, lat = DEBUG_SITES[args.focus]
+        else:
+            lon, lat = (float(v) for v in args.focus.split(","))
+        cfg = Config(**{**cfg.__dict__, "interactive": True,
+                        "site_lon": lon, "site_lat": lat})
     if args.cache_dir:
         jax.config.update("jax_compilation_cache_dir", args.cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
@@ -129,6 +139,9 @@ def main(argv=None) -> int:
                     help="persistent XLA compilation cache")
     pr.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint")
+    pr.add_argument("--focus", default=None, metavar="SITE|LON,LAT",
+                    help="INTERACTIVE mode: daily CSV for one focus cell "
+                         "(site name from site.DEBUG_SITES or lon,lat)")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("site", help="single-column site simulation")

@@ -98,3 +98,36 @@ class AnnualWriter:
                                units=ANNUAL_UNITS, layer_dim=layer_dim)
         log.info("wrote %s (%d fields)", path, len(fields))
         return path
+
+
+class FocusCSVWriter:
+    """Daily CSV for the INTERACTIVE focus cell.
+
+    The analog of the reference's per-day diagnostic CSV (unit 20,
+    HYBRID9.f90:221-229, header written at INIT.f90:887-891) and its
+    water-table trace (unit 98, HYDROLOGY.f90:509), merged into one file
+    ``focus_daily.csv`` under the output path.
+    """
+
+    COLUMNS = ("year", "doy", "tas", "pr", "rsds", "evap", "evap_grnd",
+               "rnf", "discharge", "npp", "zwt", "wa", "lai",
+               "plant_mass", "theta_mean", "t_surf", "residual")
+
+    def __init__(self, output_path: str):
+        os.makedirs(output_path, exist_ok=True)
+        self.path = os.path.join(output_path, "focus_daily.csv")
+        self._fh = open(self.path, "w")
+        self._fh.write(",".join(self.COLUMNS) + "\n")
+
+    def append(self, year: int, start_doy: int, rows: Dict) -> None:
+        """Append one forcing block of stacked [days] focus diagnostics."""
+        rows = {k: np.asarray(v) for k, v in rows.items()}
+        ndays = len(next(iter(rows.values())))
+        for d in range(ndays):
+            vals = [str(year), str(start_doy + d)]
+            vals += [f"{float(rows[k][d]):.6g}" for k in self.COLUMNS[2:]]
+            self._fh.write(",".join(vals) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()

@@ -85,6 +85,18 @@ class Simulation:
             from .physics.lateral import make_lateral_params
             self.lateral = make_lateral_params(land_grid,
                                                k_lat=cfg.lateral_k)
+        # INTERACTIVE mode: daily CSV diagnostics for one focus cell
+        # (the reference's single-point debug mode, INIT.f90:220-236,
+        # HYBRID9.f90:221-229).
+        self.focus_idx = None
+        self.focus_writer = None
+        if cfg.interactive and land_grid is not None:
+            self.focus_idx = land_grid.cell_index_of(cfg.site_lon,
+                                                     cfg.site_lat)
+            from .io.writer import FocusCSVWriter
+            self.focus_writer = FocusCSVWriter(cfg.output_path)
+            log.info("interactive focus cell: packed %d at (%.2f, %.2f)",
+                     self.focus_idx, cfg.site_lon, cfg.site_lat)
         self.annual_results: List[Dict[str, np.ndarray]] = []
 
     def run_year(self, year: int,
@@ -121,11 +133,16 @@ class Simulation:
                     ndays_next = calendar.days_in_year(year + 1)
                     prefetch(year + 1, 1, min(block_days, ndays_next))
             block = forcing_provider(year, doy, nblk)
-            self.state, acc = block_step(
+            out = block_step(
                 self.state, acc, block, self.params, self.geom,
                 cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
                 pallas_block=cfg.pallas_block, routing=self.routing,
-                lateral=self.lateral)
+                lateral=self.lateral, focus_idx=self.focus_idx)
+            if self.focus_idx is not None:
+                self.state, acc, focus = out
+                self.focus_writer.append(year, doy, focus)
+            else:
+                self.state, acc = out
             doy += nblk
 
         means = annual_means(acc, cfg.nisurf)

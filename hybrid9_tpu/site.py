@@ -31,6 +31,19 @@ CSV_HEADER = ["year", "doy", "evap_day", "evap_grnd_day", "theta1",
               "theta2", "theta3", "theta4", "theta_ma1", "lai",
               "lai_litter", "w_i", "f_t"]
 
+# Debug-site library: the reference keeps a commented catalogue of
+# focus points for INTERACTIVE runs (EXECUTE/driver.txt:28-60).  Same
+# sites, as (lon_east, lat_north) for Config.site_lon/site_lat.
+DEBUG_SITES: Dict[str, tuple] = {
+    "vaira": (-120.95, 38.41),          # Vaira Ranch, CA (LCLIM site)
+    "sarawak": (114.0, 2.5),            # Borneo rainforest
+    "kalahari": (21.5, -23.0),          # semi-arid (NISURF stability site)
+    "cambridge": (0.1, 52.2),           # temperate maritime
+    "harvard_forest": (-72.17, 42.54),  # temperate deciduous
+    "sahara": (10.0, 23.0),             # hyper-arid
+    "indonesia": (117.0, 0.5),          # humid tropics
+}
+
 
 @dataclasses.dataclass
 class SiteResult:

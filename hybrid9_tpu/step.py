@@ -171,24 +171,48 @@ def _accumulate(acc: AnnualAccumulators, state: ModelState,
     )
 
 
+def _focus_row(state: ModelState, forcing: Forcing,
+               diags: Dict[str, jnp.ndarray], dz_soil,
+               idx: int) -> Dict[str, jnp.ndarray]:
+    """Daily diagnostic scalars for one focus cell — the analog of the
+    reference's INTERACTIVE per-day CSV line (HYBRID9.f90:221-229,
+    header INIT.f90:887-891) and water-table trace (HYDROLOGY.f90:509)."""
+    dz_sum = float(sum(dz_soil))
+    h_tot = jnp.sum(state.soil.h2osoi_liq[idx])
+    return dict(
+        tas=forcing.tas[idx], pr=forcing.pr[idx], rsds=forcing.rsds[idx],
+        evap=diags["evap_day"][idx], evap_grnd=diags["evap_grnd_day"][idx],
+        rnf=diags["rnf_day"][idx], discharge=diags["discharge"][idx],
+        npp=diags["npp"][idx], zwt=state.soil.zwt[idx],
+        wa=state.soil.wa[idx], lai=state.veg.lai[idx],
+        plant_mass=state.veg.plant_mass[idx],
+        theta_mean=h_tot / (dz_sum * c.RHOW / 1.0e3),
+        t_surf=state.t_soil[idx, 0],
+        residual=diags["max_abs_residual"][idx],
+    )
+
+
 # NOTE: no buffer donation here — the axon TPU backend fails D2H
 # transfers of outputs from donated-input executables (InvalidArgument).
 # Donation saves one state-sized HBM copy per block; revisit when the
 # backend supports it.
 @functools.partial(jax.jit,
                    static_argnames=("nisurf", "dt", "geom", "use_pallas",
-                                    "pallas_block"))
+                                    "pallas_block", "focus_idx"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
-               pallas_block: int = 1024, routing=None, lateral=None
-               ) -> Tuple[ModelState, AnnualAccumulators]:
+               pallas_block: int = 1024, routing=None, lateral=None,
+               focus_idx=None):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
     a time (month/year), keeping HBM bounded, and the whole block runs as
     a single XLA computation — the reference's decade-resident forcing
     (HYBRID9.f90:93-97) re-chunked for accelerator memory.
+
+    Returns ``(state, acc)``, plus a third element of stacked ``[days]``
+    focus-cell diagnostics when ``focus_idx`` is set (INTERACTIVE mode).
     """
 
     def body(carry, f_day):
@@ -198,9 +222,13 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
                              pallas_block=pallas_block, routing=routing,
                              lateral=lateral)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
-        return (st, ac), None
+        ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
+              if focus_idx is not None else None)
+        return (st, ac), ys
 
-    (state, acc), _ = jax.lax.scan(body, (state, acc), forcing_block)
+    (state, acc), ys = jax.lax.scan(body, (state, acc), forcing_block)
+    if focus_idx is not None:
+        return state, acc, ys
     return state, acc
 
 

@@ -102,3 +102,30 @@ def test_one_year_kinematic_routing(tmp_path):
     results = sim.run(provider)
     assert float(np.max(results[0]["max_abs_residual"])) < 0.1
     assert float(np.sum(results[0]["discharge"])) > 0.0
+
+
+def test_interactive_focus_csv(tmp_path):
+    """INTERACTIVE mode writes a daily CSV for the focus cell
+    (reference: HYBRID9.f90:221-229, INIT.f90:887-891)."""
+    import csv
+
+    cfg = Config(resolution_deg=12.0, start_year=1901, end_year=1901,
+                 forcing_block_days=100, cell_block=32, nisurf=8,
+                 output_path=str(tmp_path), use_pallas=False,
+                 interactive=True, site_lon=-120.95, site_lat=38.41)
+    grid, params = load_soil(cfg)
+    provider = SyntheticForcingProvider(
+        grid.n_padded, seed=9, lat=grid.cell_lat, dtype=jnp.float32)
+    sim = Simulation(cfg, params, land_grid=grid)
+    assert sim.focus_idx is not None
+    sim.run(provider)
+    path = os.path.join(str(tmp_path), "focus_daily.csv")
+    with open(path) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 365
+    assert rows[0]["doy"] == "1" and rows[-1]["doy"] == "365"
+    tas = np.array([float(r["tas"]) for r in rows])
+    zwt = np.array([float(r["zwt"]) for r in rows])
+    assert np.all((tas > 200.0) & (tas < 330.0))
+    assert np.all((zwt >= 0.0) & (zwt <= 80.0))
+    assert np.all(np.isfinite([float(r["theta_mean"]) for r in rows]))
