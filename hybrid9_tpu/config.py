@@ -149,6 +149,10 @@ class Config:
     lateral_groundwater: bool = False  # Halo-exchange aquifer exchange
                                        # (physics/lateral.py).
     lateral_k: float = 1.0e-6         # Groundwater exchange coeff (/day).
+    snow: bool = True                 # Daily snowpack (physics/snow.py):
+                                      # rain/snow partition + degree-day
+                                      # melt feeding the hydrology.
+    snow_ddf: float = 3.0             # Degree-day melt factor (mm/K/day).
 
     def layer_grid(self) -> LayerGrid:
         return LayerGrid.from_interfaces(self.zi_mm)

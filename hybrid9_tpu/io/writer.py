@@ -38,6 +38,7 @@ ANNUAL_UNITS = {
     "rsds": "W m-2",
     "theta_total": "mm",
     "theta": "m3 m-3",
+    "swe": "mm",
     "max_abs_residual": "mm",
 }
 
@@ -111,7 +112,7 @@ class FocusCSVWriter:
 
     COLUMNS = ("year", "doy", "tas", "pr", "rsds", "evap", "evap_grnd",
                "rnf", "discharge", "npp", "zwt", "wa", "lai",
-               "plant_mass", "theta_mean", "t_surf", "residual")
+               "plant_mass", "theta_mean", "t_surf", "swe", "residual")
 
     def __init__(self, output_path: str):
         os.makedirs(output_path, exist_ok=True)

@@ -85,6 +85,10 @@ class Simulation:
             from .physics.lateral import make_lateral_params
             self.lateral = make_lateral_params(land_grid,
                                                k_lat=cfg.lateral_k)
+        self.snow = None
+        if cfg.snow:
+            from .physics.snow import SnowParams
+            self.snow = SnowParams(ddf=cfg.snow_ddf)
         # INTERACTIVE mode: daily CSV diagnostics for one focus cell
         # (the reference's single-point debug mode, INIT.f90:220-236,
         # HYBRID9.f90:221-229).
@@ -137,7 +141,8 @@ class Simulation:
                 self.state, acc, block, self.params, self.geom,
                 cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
                 pallas_block=cfg.pallas_block, routing=self.routing,
-                lateral=self.lateral, focus_idx=self.focus_idx)
+                lateral=self.lateral, snow=self.snow,
+                focus_idx=self.focus_idx)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 self.focus_writer.append(year, doy, focus)

@@ -99,6 +99,7 @@ class ModelState:
     veg: VegState
     river_store: jax.Array    # [n] River store for routed flow      (mm)
     t_soil: jax.Array         # [n, nl] Soil temperature column       (K)
+    swe: jax.Array            # [n] Snow water equivalent            (mm)
 
 
 @struct.dataclass
@@ -162,6 +163,7 @@ class AnnualAccumulators:
     rhs_sum: jax.Array          # [n]
     theta_sum: jax.Array        # [n, 8] Volumetric water          (m^3/m^3)
     h2osoi_total_sum: jax.Array  # [n] Total column water              (mm)
+    swe_sum: jax.Array          # [n] Snow water equivalent            (mm)
     n_days: jax.Array           # [] Days accumulated                   (-)
     max_abs_residual: jax.Array  # [n] Max |water-balance residual|    (mm)
 
@@ -176,6 +178,7 @@ class AnnualAccumulators:
             pr_sum=z, rhs_sum=z,
             theta_sum=jnp.zeros((n, nsoil), dtype),
             h2osoi_total_sum=z,
+            swe_sum=z,
             n_days=jnp.zeros((), dtype),
             max_abs_residual=z,
         )
@@ -243,4 +246,5 @@ def initial_state(params: SoilParams, dz_mm: np.ndarray, zi_mm: np.ndarray,
     )
     return ModelState(soil=soil, veg=veg,
                       river_store=jnp.zeros((n,), dtype),
-                      t_soil=jnp.full((n, nsoil), 283.15, dtype))
+                      t_soil=jnp.full((n, nsoil), 283.15, dtype),
+                      swe=jnp.zeros((n,), dtype))

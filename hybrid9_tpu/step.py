@@ -30,7 +30,7 @@ from .state import (AnnualAccumulators, Forcing, ModelState,
 def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              geom: Geometry, dt: float, nisurf: int,
              use_pallas: bool = False, pallas_block: int = 1024,
-             routing=None, lateral=None
+             routing=None, lateral=None, snow=None
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -38,8 +38,17 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     max water-balance residual), the analog of the reference's daily
     accumulation (HYBRID9.f90:193-253).  With ``use_pallas`` the substep
     loop runs as a single VMEM-resident Pallas kernel (pallas_day.py)
-    instead of a ``lax.scan`` of XLA-fused substeps.
+    instead of a ``lax.scan`` of XLA-fused substeps.  With ``snow``
+    (a SnowParams), the daily snowpack (physics/snow.py) reshapes the
+    precipitation input: snowfall accumulates as SWE and melt is
+    released as effective rainfall.
     """
+    swe = state.swe
+    if snow is not None:
+        from .physics.snow import snow_step
+        swe, pr_eff, _melt = snow_step(swe, forcing.tas, forcing.pr, snow)
+        forcing = forcing.replace(pr=pr_eff)
+
     if use_pallas:
         from .physics.pallas_day import pallas_hydrology_day
         soil, pd = pallas_hydrology_day(state.soil, state.veg, params,
@@ -55,7 +64,7 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         soil = _lateral(soil, lateral)
         t_soil = _soil_temp(state, soil, params, forcing, geom)
         return ModelState(soil=soil, veg=veg, river_store=river,
-                          t_soil=t_soil), diags
+                          t_soil=t_soil, swe=swe), diags
 
     fd = derive_forcing(forcing)
     veg = state.veg
@@ -91,7 +100,7 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     soil = _lateral(soil, lateral)
     t_soil = _soil_temp(state, soil, params, forcing, geom)
     return ModelState(soil=soil, veg=veg, river_store=river,
-                      t_soil=t_soil), diags
+                      t_soil=t_soil, swe=swe), diags
 
 
 def _lateral(soil, lateral):
@@ -165,6 +174,7 @@ def _accumulate(acc: AnnualAccumulators, state: ModelState,
         theta_sum=acc.theta_sum + theta,
         h2osoi_total_sum=acc.h2osoi_total_sum
         + jnp.sum(state.soil.h2osoi_liq, axis=-1),
+        swe_sum=acc.swe_sum + state.swe,
         n_days=acc.n_days + 1.0,
         max_abs_residual=jnp.maximum(acc.max_abs_residual,
                                      diags["max_abs_residual"]),
@@ -188,6 +198,7 @@ def _focus_row(state: ModelState, forcing: Forcing,
         plant_mass=state.veg.plant_mass[idx],
         theta_mean=h_tot / (dz_sum * c.RHOW / 1.0e3),
         t_surf=state.t_soil[idx, 0],
+        swe=state.swe[idx],
         residual=diags["max_abs_residual"][idx],
     )
 
@@ -203,7 +214,7 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
                pallas_block: int = 1024, routing=None, lateral=None,
-               focus_idx=None):
+               snow=None, focus_idx=None):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
@@ -220,7 +231,7 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
         st, diags = day_step(st, f_day, params, geom, dt, nisurf,
                              use_pallas=use_pallas,
                              pallas_block=pallas_block, routing=routing,
-                             lateral=lateral)
+                             lateral=lateral, snow=snow)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)
@@ -256,5 +267,6 @@ def annual_means(acc: AnnualAccumulators, nisurf: int
         rhs=acc.rhs_sum / nt,
         theta=acc.theta_sum / nt,
         theta_total=acc.h2osoi_total_sum / nt,
+        swe=acc.swe_sum / nt,
         max_abs_residual=acc.max_abs_residual,
     )
