@@ -153,6 +153,9 @@ class Config:
                                       # rain/snow partition + degree-day
                                       # melt feeding the hydrology.
     snow_ddf: float = 3.0             # Degree-day melt factor (mm/K/day).
+    frozen_soil: bool = True          # Frozen-ground hydraulic impedance
+                                      # from the prognostic temperature
+                                      # column (soiltemp.freeze_impedance).
 
     def layer_grid(self) -> LayerGrid:
         return LayerGrid.from_interfaces(self.zi_mm)

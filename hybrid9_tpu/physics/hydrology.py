@@ -70,13 +70,16 @@ def derive_forcing(f: Forcing) -> Dict[str, jnp.ndarray]:
 def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
                    p_theta_s, p_hksat, p_psi_s, p_bsw, fmax,
                    fd: Dict[str, jnp.ndarray], geom: Geometry,
-                   dt: float) -> Dict[str, object]:
+                   dt: float, imp=None) -> Dict[str, object]:
     """One hydrology substep on plain values.
 
     Per-layer args (``h``, ``smp_prev``, ``rootr``, ``p_*``) are lists of
     ``[n]`` arrays; the rest are ``[n]`` arrays.  This value-level core is
     shared by the XLA path (:func:`hydrology_substep`) and the Pallas day
     kernel (pallas_day.py), which calls it on VMEM-resident blocks.
+    ``imp`` optionally supplies per-layer frozen-soil impedance factors
+    (soiltemp.freeze_impedance, constant within a day) that throttle
+    infiltration and interface conductivity.
 
     Returns a dict with the updated prognostics (``h``, ``smp`` as lists;
     ``zwt``, ``wa``) and the substep fluxes.
@@ -103,6 +106,10 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
     qflx_in_soil = (qflx_top_soil - qflx_surf) - et.qflx_evap_grnd
     qinmax = (1.0 - fsat) * jnp.minimum(
         jnp.minimum(p_hksat[0], p_hksat[1]), p_hksat[2])
+    if imp is not None:
+        # Frozen ground throttles infiltration; excess becomes surface
+        # runoff through the infiltration-excess path below.
+        qinmax = qinmax * imp[0]
     qflx_infl_excess = jnp.maximum(0.0, qflx_in_soil - qinmax)
     qflx_infl = qflx_in_soil - qflx_infl_excess
     qflx_surf = qflx_surf + qflx_infl_excess
@@ -111,7 +118,8 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
     # (HYDROLOGY.f90:485-909).
     sw = soil_water_update(
         h, theta, zwt, p_theta_s, p_hksat, p_psi_s, p_bsw,
-        qflx_infl, et.qflx_tran_veg, rootr, geom.zi, dz, geom.zc_soil, dt)
+        qflx_infl, et.qflx_tran_veg, rootr, geom.zi, dz, geom.zc_soil,
+        dt, imp)
 
     # CESM Drainage: water table, baseflow, fix-ups
     # (HYDROLOGY.f90:911-1216).
@@ -135,19 +143,21 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
 
 def hydrology_substep(soil: SoilState, veg: VegState, params,
                       fd: Dict[str, jnp.ndarray], geom: Geometry,
-                      dt: float) -> Tuple[SoilState, SubstepFluxes]:
+                      dt: float, imp=None
+                      ) -> Tuple[SoilState, SubstepFluxes]:
     """One hydrology substep for all cells (pytree wrapper).
 
     ``params`` is a SoilParams pytree; ``fd`` is the derived-forcing dict
     from :func:`derive_forcing` (computed once per day, reused across the
-    48 substeps).
+    48 substeps); ``imp`` the optional ``[n, nl]`` frozen-soil impedance.
     """
     out = substep_values(
         unstack(soil.h2osoi_liq), unstack(soil.smp), soil.zwt, soil.wa,
         unstack(veg.rootr), veg.lai, veg.lai_litter,
         unstack(params.theta_s), unstack(params.hksat),
         unstack(params.psi_s), unstack(params.bsw), params.fmax,
-        fd, geom, dt)
+        fd, geom, dt,
+        imp=None if imp is None else unstack(imp))
 
     new_soil = SoilState(
         h2osoi_liq=stack(out["h"]),

@@ -37,13 +37,17 @@ def _day_kernel(h_ref, smp_ref, zwt_ref, wa_ref,
                 rootr_ref, lai_ref, litter_ref,
                 ts_ref, hk_ref, ps_ref, bs_ref, fmax_ref,
                 *fd_refs_and_outs, geom: Geometry, dt: float,
-                nisurf: int, nl: int):
+                nisurf: int, nl: int, with_imp: bool = False):
+    rows = lambda ref: [ref[i, :] for i in range(nl)]
+    imp = None
+    if with_imp:
+        imp_ref, *fd_refs_and_outs = fd_refs_and_outs
+        imp = rows(imp_ref)
     (tak_ref, rh_ref, rnet_ref, par_ref, rain_ref, lamb_ref, huss_ref,
      psair_ref,
      h_out, smp_out, zwt_out, wa_out,
      evap_out, evap_grnd_out, rnf_out, res_out) = fd_refs_and_outs
 
-    rows = lambda ref: [ref[i, :] for i in range(nl)]
     rootr = rows(rootr_ref)
     p_ts, p_hk, p_ps, p_bs = (rows(ts_ref), rows(hk_ref), rows(ps_ref),
                               rows(bs_ref))
@@ -58,7 +62,7 @@ def _day_kernel(h_ref, smp_ref, zwt_ref, wa_ref,
         h, smp, zwt, wa, evap, evap_grnd, rnf, max_res = carry
         out = substep_values(list(h), list(smp), zwt, wa, rootr, lai,
                              litter, p_ts, p_hk, p_ps, p_bs, fmax,
-                             fd, geom, dt)
+                             fd, geom, dt, imp=imp)
         evap = evap + (out["qflx_evap_grnd"] + out["qflx_tran_veg"]) * dt
         evap_grnd = evap_grnd + out["qflx_evap_grnd"] * dt
         rnf = rnf + (out["qflx_surf"] + out["rsub_top"]) * dt
@@ -88,14 +92,15 @@ def _day_kernel(h_ref, smp_ref, zwt_ref, wa_ref,
 def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
                          forcing: Forcing, geom: Geometry, dt: float,
                          nisurf: int, block: int = 2048,
-                         interpret: bool = False
+                         interpret: bool = False, imp=None
                          ) -> Tuple[SoilState, Dict[str, jnp.ndarray]]:
     """Run ``nisurf`` hydrology substeps for one day via the Pallas kernel.
 
     Returns the updated SoilState and the daily flux sums.  ``block`` is
     the number of cells per VMEM tile; the packed cell count must divide
     by it.  ``interpret=True`` runs the kernel in interpreter mode (for
-    CPU tests).
+    CPU tests).  ``imp`` optionally adds the ``[n, nl]`` frozen-soil
+    impedance as one more VMEM-resident operand.
     """
     n, nl = soil.h2osoi_liq.shape
     if n % block:
@@ -118,7 +123,8 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
         flat_spec, flat_spec,    # lai, litter
         lay_spec, lay_spec, lay_spec, lay_spec,  # theta_s/hksat/psi_s/bsw
         flat_spec,               # fmax
-    ] + [flat_spec] * len(_FD_KEYS)
+    ] + ([lay_spec] if imp is not None else []) \
+      + [flat_spec] * len(_FD_KEYS)
 
     out_shape = (
         jax.ShapeDtypeStruct((nl, n), dtype),   # h2osoi
@@ -134,7 +140,9 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
                  flat_spec, flat_spec, flat_spec)
 
     kernel = functools.partial(_day_kernel, geom=geom, dt=dt,
-                               nisurf=nisurf, nl=nl)
+                               nisurf=nisurf, nl=nl,
+                               with_imp=imp is not None)
+    imp_ops = (t(imp),) if imp is not None else ()
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -145,7 +153,7 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
     )(t(soil.h2osoi_liq), t(soil.smp), soil.zwt, soil.wa,
       t(veg.rootr), veg.lai, veg.lai_litter,
       t(params.theta_s), t(params.hksat), t(params.psi_s),
-      t(params.bsw), params.fmax,
+      t(params.bsw), params.fmax, *imp_ops,
       *[fd[k] for k in _FD_KEYS])
 
     (h_t, smp_t, zwt, wa, evap_day, evap_grnd_day, rnf_day,
@@ -161,7 +169,7 @@ def pallas_hydrology_day_sharded(soil: SoilState, veg, params: SoilParams,
                                  forcing: Forcing, geom: Geometry,
                                  dt: float, nisurf: int, mesh,
                                  axis: str = "cells", block: int = 1024,
-                                 interpret: bool = False):
+                                 interpret: bool = False, imp=None):
     """Multi-chip variant: shard_map the day kernel over the cell axis.
 
     Every input/output is partitioned on its leading (cell) axis; each
@@ -179,12 +187,15 @@ def pallas_hydrology_day_sharded(soil: SoilState, veg, params: SoilParams,
         return P(axis, *([None] * (nd - 1)))
 
     args = (soil, veg, params, forcing)
+    if imp is not None:
+        args = args + (imp,)
     in_specs = jax.tree_util.tree_map(spec_of, args)
 
-    def local_fn(soil_l, veg_l, params_l, forcing_l):
+    def local_fn(soil_l, veg_l, params_l, forcing_l, *imp_l):
         return pallas_hydrology_day(soil_l, veg_l, params_l, forcing_l,
                                     geom, dt, nisurf, block=block,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    imp=imp_l[0] if imp_l else None)
 
     out_shape = jax.eval_shape(local_fn, *args)
     out_specs = jax.tree_util.tree_map(spec_of, out_shape)

@@ -119,3 +119,22 @@ def column_energy(t_soil: jnp.ndarray, theta: jnp.ndarray,
         term = cv * (dz_mm[i] / 1000.0) * t_soil[:, i]
         total = term if total is None else total + term
     return total
+
+
+def freeze_impedance(t_soil: jnp.ndarray, omega: float = 6.0,
+                     ramp_k: float = 2.0) -> jnp.ndarray:
+    """Hydraulic impedance of (partially) frozen layers, ``[n, nl]``.
+
+    New capability beyond the reference (which has no soil freezing):
+    the CLM-style ice impedance ``f = 10^(-omega * F_ice)`` (Swenson et
+    al. 2012; omega = 6), with the frozen fraction approximated by a
+    linear ramp ``F_ice = clip((TF - T) / ramp_k, 0, 1)`` in lieu of a
+    prognostic ice store.  Multiplies interface hydraulic conductivity
+    and the infiltration capacity in the substep (soilwater.py,
+    hydrology.py); impedance only scales conductances, so water
+    conservation is untouched.  Unfrozen soil returns exactly 1.
+    """
+    from . import constants as c
+
+    f_ice = jnp.clip((c.TF - t_soil) / ramp_k, 0.0, 1.0)
+    return jnp.power(10.0, -omega * f_ice)

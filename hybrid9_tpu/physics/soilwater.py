@@ -16,7 +16,7 @@ a few VPU kernels.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import List, NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -114,10 +114,14 @@ def _conductivity_and_potential(theta: List[jnp.ndarray],
                                 theta_s: List[jnp.ndarray],
                                 hksat: List[jnp.ndarray],
                                 psi_s: List[jnp.ndarray],
-                                bsw: List[jnp.ndarray]):
+                                bsw: List[jnp.ndarray],
+                                imp: Optional[List[jnp.ndarray]] = None):
     """Interface conductivity, matric potential and their derivatives.
 
     Reference: HYDROLOGY.f90:598-639 (O13 Eqn 7.94 and neighbours).
+    ``imp`` optionally supplies per-layer frozen-soil impedance factors
+    (soiltemp.freeze_impedance); the interface conductivity is scaled by
+    the more restrictive of the two adjacent layers (CLM convention).
     Returns (hk, dhkdw, smp, dsmpdw), each a list of nl ``[n]`` arrays.
     """
     nl = len(theta)
@@ -128,6 +132,8 @@ def _conductivity_and_potential(theta: List[jnp.ndarray],
             / (0.5 * (theta_s[i] + theta_s[inext]))
         s1 = jnp.minimum(1.0, s1)
         s2 = hksat[i] * s1 ** (2.0 * bsw[i] + 2.0)
+        if imp is not None:
+            s2 = s2 * jnp.minimum(imp[i], imp[inext])
         hk.append(s1 * s2)
         dhkdw.append((2.0 * bsw[i] + 3.0) * s2
                      * (1.0 / (theta_s[i] + theta_s[inext])))
@@ -201,11 +207,14 @@ def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
                       qflx_tran_veg: jnp.ndarray,
                       rootr: List[jnp.ndarray], zi: jnp.ndarray,
                       dz_soil: jnp.ndarray, zc_soil: jnp.ndarray,
-                      dt: float) -> SoilWaterResult:
+                      dt: float,
+                      imp: Optional[List[jnp.ndarray]] = None
+                      ) -> SoilWaterResult:
     """One implicit vertical soil-water step for all cells.
 
     Per-layer args are lists of ``[n]`` arrays; ``zi [10]``,
-    ``dz_soil``, ``zc_soil`` are static geometry (mm).
+    ``dz_soil``, ``zc_soil`` are static geometry (mm); ``imp`` is the
+    optional frozen-soil impedance per layer.
     """
     nl = len(h2osoi)
     zwtmm = 1000.0 * zwt
@@ -215,7 +224,7 @@ def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
 
     zq = _equilibrium_profile(zwtmm, jwt, theta_s, psi_s, bsw, zi)
     hk, dhkdw, smp, dsmpdw = _conductivity_and_potential(
-        theta, theta_s, hksat, psi_s, bsw)
+        theta, theta_s, hksat, psi_s, bsw, imp)
 
     # Aquifer-layer geometry (HYDROLOGY.f90:643-650).
     zc_aq = 0.5 * (zwtmm + zc_soil[nl - 1])

@@ -101,6 +101,7 @@ class Simulation:
             self.focus_writer = FocusCSVWriter(cfg.output_path)
             log.info("interactive focus cell: packed %d at (%.2f, %.2f)",
                      self.focus_idx, cfg.site_lon, cfg.site_lat)
+        self.n_land = land_grid.n_land if land_grid is not None else None
         self.annual_results: List[Dict[str, np.ndarray]] = []
 
     def run_year(self, year: int,
@@ -142,7 +143,7 @@ class Simulation:
                 cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
                 pallas_block=cfg.pallas_block, routing=self.routing,
                 lateral=self.lateral, snow=self.snow,
-                focus_idx=self.focus_idx)
+                focus_idx=self.focus_idx, freeze=cfg.frozen_soil)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 self.focus_writer.append(year, doy, focus)
@@ -171,6 +172,8 @@ class Simulation:
         logged error as fatal if they choose.
         """
         res = means["max_abs_residual"]
+        if self.n_land is not None:
+            res = res[:self.n_land]      # padding lanes carry no state
         bad_nan = ~np.isfinite(res)
         if np.any(bad_nan):
             idx = np.flatnonzero(bad_nan)[:8]

@@ -30,7 +30,7 @@ from .state import (AnnualAccumulators, Forcing, ModelState,
 def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              geom: Geometry, dt: float, nisurf: int,
              use_pallas: bool = False, pallas_block: int = 1024,
-             routing=None, lateral=None, snow=None
+             routing=None, lateral=None, snow=None, freeze: bool = False
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -48,12 +48,18 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         from .physics.snow import snow_step
         swe, pr_eff, _melt = snow_step(swe, forcing.tas, forcing.pr, snow)
         forcing = forcing.replace(pr=pr_eff)
+    # Frozen-soil impedance from yesterday's temperature column (lagged
+    # like smp; constant across the day's substeps).
+    imp = None
+    if freeze:
+        from .physics.soiltemp import freeze_impedance
+        imp = freeze_impedance(state.t_soil)
 
     if use_pallas:
         from .physics.pallas_day import pallas_hydrology_day
         soil, pd = pallas_hydrology_day(state.soil, state.veg, params,
                                         forcing, geom, dt, nisurf,
-                                        block=pallas_block)
+                                        block=pallas_block, imp=imp)
         veg, npp = grow_daily(state.veg, soil.smp, forcing.tas, geom.zi)
         diags = dict(evap_day=pd["evap_day"],
                      evap_grnd_day=pd["evap_grnd_day"],
@@ -76,7 +82,8 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     # and a smaller XLA graph than materialising [nisurf, n] flux arrays.
     def substep(carry, _):
         soil, evap, evap_grnd, rnf, max_res = carry
-        soil, fx = hydrology_substep(soil, veg, params, fd, geom, dt)
+        soil, fx = hydrology_substep(soil, veg, params, fd, geom, dt,
+                                     imp=imp)
         evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
         evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
         rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
@@ -209,12 +216,13 @@ def _focus_row(state: ModelState, forcing: Forcing,
 # backend supports it.
 @functools.partial(jax.jit,
                    static_argnames=("nisurf", "dt", "geom", "use_pallas",
-                                    "pallas_block", "focus_idx"))
+                                    "pallas_block", "focus_idx",
+                                    "freeze"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
                pallas_block: int = 1024, routing=None, lateral=None,
-               snow=None, focus_idx=None):
+               snow=None, focus_idx=None, freeze: bool = False):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
@@ -231,7 +239,7 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
         st, diags = day_step(st, f_day, params, geom, dt, nisurf,
                              use_pallas=use_pallas,
                              pallas_block=pallas_block, routing=routing,
-                             lateral=lateral, snow=snow)
+                             lateral=lateral, snow=snow, freeze=freeze)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)
