@@ -94,6 +94,11 @@ class NetCDFForcingProvider:
             # (h9_pack_forcing_block) when built.
             packed = native.pack_forcing_block(
                 np.asarray(raw), self.grid.land_idx, self.grid.n_padded)
+            # Padding lanes get a real cell's forcing (zero-fill means
+            # tas = 0 K, which blows up the ET psychrometrics; padding
+            # state is discarded, but non-finite lanes poison global
+            # max-reductions and the health check).
+            packed[:, self.grid.n_land:] = packed[:, :1]
             arrays[var] = jnp.asarray(packed[:, self.cell_slice],
                                       self.dtype)
         return Forcing(**arrays)

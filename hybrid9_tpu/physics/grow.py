@@ -39,9 +39,13 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
     w_i = jnp.sum(veg.rootr * jnp.clip(wi_l, 0.0, 1.0), axis=-1)
 
     # Temperature constraint (Hayat et al. 2017 Eqn 19; GROW.f90:66-72).
-    # The warm branch is unclamped in the reference; reproduced as-is.
+    # The reference leaves the warm branch unclamped, so daily-mean
+    # temperatures above 39 C (d > 18 + 21) yield a NEGATIVE growth rate
+    # that can drive plant mass below zero, flip the rooting depth
+    # negative and blow up the root-profile exponential (and with it the
+    # soil-water solve).  We clamp it at 0 — see DEVIATIONS.md #9.
     d = tas - c.TF
-    ft_warm = 1.0 - (jnp.abs(d - 18.0) / 21.0) ** 2
+    ft_warm = jnp.maximum(0.0, 1.0 - (jnp.abs(d - 18.0) / 21.0) ** 2)
     ft_cool = jnp.clip(1.0 - (jnp.abs(d - 18.0) / 25.0) ** 2, 0.0, 1.0)
     f_t = jnp.where(d > 18.0, ft_warm, ft_cool)
 
@@ -54,8 +58,13 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
     loss_fm = jnp.where(w_i < 0.6, 0.1 * veg.plant_foliage_mass, loss_fm)
     dpm = grow_pm - loss_pm
     dfm = grow_fm - loss_fm
-    plant_mass = veg.plant_mass + dpm
-    plant_foliage_mass = veg.plant_foliage_mass + dfm
+    # Seed-bank floors: pools cannot go non-positive (maintenance and
+    # turnover are proportional losses in the reference, but the f_t=0
+    # clamp above plus discrete days could still overshoot at tiny mass;
+    # DEVIATIONS.md #9).
+    plant_mass = jnp.maximum(1.0e-3, veg.plant_mass + dpm)
+    plant_foliage_mass = jnp.maximum(1.0e-5,
+                                     veg.plant_foliage_mass + dfm)
 
     # Cylinder allometry (GROW.f90:155-156); cbrt for robustness at
     # non-positive mass (DEVIATIONS.md).
@@ -66,8 +75,10 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
     rdepth = 0.3 * plant_length
 
     # Root profile: 90 % of roots within rdepth (Baldocchi;
-    # GROW.f90:176-182).
-    decay = jnp.exp(jnp.log(0.1) / (rdepth / 10.0))
+    # GROW.f90:176-182).  rdepth > 0 is guaranteed by the mass floor; the
+    # extra 1 mm floor makes divergence (decay > 1) structurally
+    # impossible.
+    decay = jnp.exp(jnp.log(0.1) / (jnp.maximum(rdepth, 1.0) / 10.0))
     rootr = (decay[:, None] ** (zi[None, :nl] / 10.0)
              - decay[:, None] ** (zi[None, 1:nl + 1] / 10.0))
 

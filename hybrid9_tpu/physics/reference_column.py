@@ -569,10 +569,12 @@ def grow_daily(state: ColumnState, tas: float, zi: np.ndarray
         w_i += state.rootr[i] * min(1.0, max(0.0, wi_l))
 
     # Temperature constraint (Hayat et al. 2017 Eqn 19; GROW.f90:66-72).
-    # Note the warm side is NOT clamped in the reference.
+    # The reference leaves the warm side unclamped (negative growth above
+    # 39 C daily mean -> negative mass -> root-profile divergence); we
+    # clamp it at 0, matching grow.py (DEVIATIONS.md #9).
     d = tas - c.TF
     if d > 18.0:
-        f_t = 1.0 - (abs(d - 18.0) / 21.0) ** 2
+        f_t = max(0.0, 1.0 - (abs(d - 18.0) / 21.0) ** 2)
     else:
         f_t = 1.0 - (abs(d - 18.0) / 25.0) ** 2
         f_t = min(1.0, max(0.0, f_t))
@@ -587,8 +589,10 @@ def grow_daily(state: ColumnState, tas: float, zi: np.ndarray
         loss_fm = 0.1 * state.plant_foliage_mass
     dpm = grow_pm - loss_pm
     dfm = grow_fm - loss_fm
-    state.plant_mass += dpm
-    state.plant_foliage_mass += dfm
+    # Seed-bank floors, matching grow.py (DEVIATIONS.md #9).
+    state.plant_mass = max(1.0e-3, state.plant_mass + dpm)
+    state.plant_foliage_mass = max(1.0e-5,
+                                   state.plant_foliage_mass + dfm)
 
     # Cylinder allometry (GROW.f90:155-156); cbrt for robustness at
     # non-positive mass (see DEVIATIONS.md).
@@ -600,7 +604,7 @@ def grow_daily(state: ColumnState, tas: float, zi: np.ndarray
 
     # Root profile: 90 % of roots within rdepth (Baldocchi;
     # GROW.f90:176-182).
-    decay = np.exp(np.log(0.1) / (rdepth / 10.0))
+    decay = np.exp(np.log(0.1) / (max(rdepth, 1.0) / 10.0))
     for i in range(nl):
         state.rootr[i] = decay ** (zi[i] / 10.0) \
             - decay ** (zi[i + 1] / 10.0)

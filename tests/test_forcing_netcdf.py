@@ -42,8 +42,10 @@ def test_netcdf_provider_reads_block(pgf_archive):
     expect = data["tas"][2:7].reshape(5, -1)[:, grid.land_idx]
     np.testing.assert_allclose(np.asarray(block.tas)[:, :grid.n_land],
                                expect, rtol=1e-6)
-    # Padding cells are zero-filled.
-    assert np.all(np.asarray(block.tas)[:, grid.n_land:] == 0.0)
+    # Padding lanes replicate a real cell's forcing (finite, benign —
+    # zero-fill meant tas = 0 K and NaN ET in the padding lanes).
+    pad = np.asarray(block.tas)[:, grid.n_land:]
+    assert np.all(pad == np.asarray(block.tas)[:, :1])
 
 
 def test_netcdf_provider_with_prefetch(pgf_archive):

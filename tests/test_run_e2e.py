@@ -129,3 +129,26 @@ def test_interactive_focus_csv(tmp_path):
     assert np.all((tas > 200.0) & (tas < 330.0))
     assert np.all((zwt >= 0.0) & (zwt <= 80.0))
     assert np.all(np.isfinite([float(r["theta_mean"]) for r in rows]))
+
+
+def test_hot_climate_stability():
+    """Hot-cell regression (DEVIATIONS.md #9): daily means above 39 C
+    made the unclamped growth response drive plant mass negative and
+    blow up the root profile / soil-water solve.  Two simulated years
+    of 45 C, rainy forcing must stay finite and conservative."""
+    import __graft_entry__ as ge
+    from hybrid9_tpu.physics import constants as c
+    from hybrid9_tpu.step import day_step
+
+    step_fn, state, forcing, params, geom, cfg = ge._build(64)
+    hot = forcing.replace(tas=jnp.full(64, 318.0),
+                          pr=jnp.full(64, 3.0e-4))
+    import jax
+    day = jax.jit(lambda s: day_step(s, hot, params, geom, cfg.dt,
+                                     cfg.nisurf))
+    for _ in range(730):
+        state, diags = day(state)
+    assert np.all(np.isfinite(np.asarray(state.soil.h2osoi_liq)))
+    assert np.all(np.asarray(state.veg.plant_mass) > 0.0)
+    assert np.all(np.asarray(state.veg.rdepth) > 0.0)
+    assert float(jnp.max(diags["max_abs_residual"])) < 0.1
