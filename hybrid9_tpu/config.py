@@ -156,6 +156,10 @@ class Config:
     frozen_soil: bool = True          # Frozen-ground hydraulic impedance
                                       # from the prognostic temperature
                                       # column (soiltemp.freeze_impedance).
+    vegetation: bool = True           # Daily GROW dynamics; False =
+                                      # hydrology-only mode (LAI/roots
+                                      # frozen at initial values;
+                                      # BASELINE.json config 2).
 
     def layer_grid(self) -> LayerGrid:
         return LayerGrid.from_interfaces(self.zi_mm)

@@ -45,11 +45,14 @@ class SnowParams:
                                       metadata=dict(static=True))
     t_snow: float = dataclasses.field(default=c.TF - 1.0,  # all snow <= (K)
                                       metadata=dict(static=True))
+    swe_cap: float = dataclasses.field(default=1000.0,     # max pack (mm)
+                                       metadata=dict(static=True))
 
 
 def snow_step(swe: jnp.ndarray, tas: jnp.ndarray, pr: jnp.ndarray,
               p: SnowParams
-              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                         jnp.ndarray]:
     """One daily snowpack update.
 
     Args:
@@ -57,9 +60,15 @@ def snow_step(swe: jnp.ndarray, tas: jnp.ndarray, pr: jnp.ndarray,
       tas: ``[n]`` daily air temperature (K).
       pr: ``[n]`` precipitation flux (kg/m^2/s, the PGF field).
 
-    Returns ``(swe_new, pr_eff, melt_mm)`` where ``pr_eff`` is the
-    effective rainfall flux for the hydrology (same units as ``pr``)
-    and ``melt_mm`` the day's melt (mm, diagnostic).
+    Returns ``(swe_new, pr_eff, melt_mm, capped_mm)``: ``pr_eff`` is the
+    effective rainfall flux for the hydrology (same units as ``pr``),
+    ``melt_mm`` the day's melt, and ``capped_mm`` the CLM-style snow
+    capping overflow — packs cannot exceed ``swe_cap`` (default 1000 mm
+    w.e., the CLM cap), and the excess leaves as ice runoff straight to
+    the river network, which is how perennially-frozen cells (glacier
+    analogs) discharge instead of banking snow without bound (a 112-yr
+    uncapped run accumulated ~24 m mean SWE).  Conservation:
+    swe' - swe + rain_eff + capped = pr.
     """
     pr_mm_day = pr * c.SDAY            # kg/m^2/s == mm/s -> mm/day
     frac_snow = jnp.clip((p.t_rain - tas) / (p.t_rain - p.t_snow),
@@ -68,5 +77,7 @@ def snow_step(swe: jnp.ndarray, tas: jnp.ndarray, pr: jnp.ndarray,
     melt_pot = p.ddf * jnp.maximum(tas - c.TF, 0.0)
     melt = jnp.minimum(swe + snowfall, melt_pot)
     swe_new = swe + snowfall - melt
+    capped = jnp.maximum(swe_new - p.swe_cap, 0.0)
+    swe_new = swe_new - capped
     pr_eff = (pr_mm_day - snowfall + melt) / c.SDAY
-    return swe_new, pr_eff, melt
+    return swe_new, pr_eff, melt, capped

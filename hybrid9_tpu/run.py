@@ -143,7 +143,8 @@ class Simulation:
                 cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
                 pallas_block=cfg.pallas_block, routing=self.routing,
                 lateral=self.lateral, snow=self.snow,
-                focus_idx=self.focus_idx, freeze=cfg.frozen_soil)
+                focus_idx=self.focus_idx, freeze=cfg.frozen_soil,
+                vegetation=cfg.vegetation)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 self.focus_writer.append(year, doy, focus)

@@ -30,7 +30,8 @@ from .state import (AnnualAccumulators, Forcing, ModelState,
 def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              geom: Geometry, dt: float, nisurf: int,
              use_pallas: bool = False, pallas_block: int = 1024,
-             routing=None, lateral=None, snow=None, freeze: bool = False
+             routing=None, lateral=None, snow=None, freeze: bool = False,
+             vegetation: bool = True
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -44,9 +45,11 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     released as effective rainfall.
     """
     swe = state.swe
+    snow_capped = None
     if snow is not None:
         from .physics.snow import snow_step
-        swe, pr_eff, _melt = snow_step(swe, forcing.tas, forcing.pr, snow)
+        swe, pr_eff, _melt, snow_capped = snow_step(
+            swe, forcing.tas, forcing.pr, snow)
         forcing = forcing.replace(pr=pr_eff)
     # Frozen-soil impedance from yesterday's temperature column (lagged
     # like smp; constant across the day's substeps).
@@ -60,12 +63,14 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         soil, pd = pallas_hydrology_day(state.soil, state.veg, params,
                                         forcing, geom, dt, nisurf,
                                         block=pallas_block, imp=imp)
-        veg, npp = grow_daily(state.veg, soil.smp, forcing.tas, geom.zi)
+        veg, npp = _grow(state.veg, soil, forcing, geom, vegetation)
         diags = dict(evap_day=pd["evap_day"],
                      evap_grnd_day=pd["evap_grnd_day"],
                      rnf_day=pd["rnf_day"],
                      max_abs_residual=pd["max_abs_residual"],
                      npp=npp)
+        if snow_capped is not None:    # capped-pack ice runoff (mm)
+            diags["rnf_day"] = diags["rnf_day"] + snow_capped
         river, diags = _route(state.river_store, diags, routing)
         soil = _lateral(soil, lateral)
         t_soil = _soil_temp(state, soil, params, forcing, geom)
@@ -94,7 +99,7 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     (soil, evap_day, evap_grnd_day, rnf_day, max_res), _ = jax.lax.scan(
         substep, carry0, None, length=nisurf)
 
-    veg, npp = grow_daily(veg, soil.smp, forcing.tas, geom.zi)
+    veg, npp = _grow(veg, soil, forcing, geom, vegetation)
 
     diags = dict(
         evap_day=evap_day,
@@ -103,11 +108,22 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         max_abs_residual=max_res,
         npp=npp,
     )
+    if snow_capped is not None:        # capped-pack ice runoff (mm)
+        diags["rnf_day"] = diags["rnf_day"] + snow_capped
     river, diags = _route(state.river_store, diags, routing)
     soil = _lateral(soil, lateral)
     t_soil = _soil_temp(state, soil, params, forcing, geom)
     return ModelState(soil=soil, veg=veg, river_store=river,
                       t_soil=t_soil, swe=swe), diags
+
+
+def _grow(veg, soil, forcing, geom, vegetation: bool):
+    """Daily vegetation update, or a no-op in hydrology-only mode
+    (BASELINE.json config 2: global hydrology without vegetation —
+    LAI/roots stay at their prescribed initial values)."""
+    if vegetation:
+        return grow_daily(veg, soil.smp, forcing.tas, geom.zi)
+    return veg, jnp.zeros_like(veg.lai)
 
 
 def _lateral(soil, lateral):
@@ -217,12 +233,13 @@ def _focus_row(state: ModelState, forcing: Forcing,
 @functools.partial(jax.jit,
                    static_argnames=("nisurf", "dt", "geom", "use_pallas",
                                     "pallas_block", "focus_idx",
-                                    "freeze"))
+                                    "freeze", "vegetation"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
                pallas_block: int = 1024, routing=None, lateral=None,
-               snow=None, focus_idx=None, freeze: bool = False):
+               snow=None, focus_idx=None, freeze: bool = False,
+               vegetation: bool = True):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
@@ -239,7 +256,8 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
         st, diags = day_step(st, f_day, params, geom, dt, nisurf,
                              use_pallas=use_pallas,
                              pallas_block=pallas_block, routing=routing,
-                             lateral=lateral, snow=snow, freeze=freeze)
+                             lateral=lateral, snow=snow, freeze=freeze,
+                             vegetation=vegetation)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)

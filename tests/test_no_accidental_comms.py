@@ -46,6 +46,30 @@ def test_day_step_has_no_collectives_when_sharded(layer_grid):
         "physics should compile communication-free")
 
 
+def test_flagship_physics_has_no_collectives_when_sharded(layer_grid):
+    """Snow + frozen-soil impedance are elementwise: the FULL flagship
+    day step (minus routing) must still compile communication-free."""
+    import __graft_entry__ as ge
+    from hybrid9_tpu.physics.snow import SnowParams
+
+    n = 8 * 32
+    _, state, forcing, params, geom, cfg = ge._build(n)
+    cs = CellSharding.create()
+    state = cs.put(state)
+    forcing = cs.put(forcing)
+    params = cs.put(params)
+
+    def fn(state, forcing):
+        st, diags = day_step(state, forcing, params, geom, cfg.dt, 4,
+                             snow=SnowParams(), freeze=True)
+        return st, diags["max_abs_residual"]
+
+    text = _compiled_text(fn, state, forcing)
+    hits = sorted(set(_COLLECTIVE_RE.findall(text)))
+    assert not hits, (
+        f"sharded flagship step contains collectives {hits}")
+
+
 def test_routing_is_the_only_comm_source(layer_grid):
     import jax.numpy as jnp
 

@@ -152,3 +152,27 @@ def test_hot_climate_stability():
     assert np.all(np.asarray(state.veg.plant_mass) > 0.0)
     assert np.all(np.asarray(state.veg.rdepth) > 0.0)
     assert float(jnp.max(diags["max_abs_residual"])) < 0.1
+
+
+def test_hydrology_only_mode(tmp_path):
+    """BASELINE.json config 2: global hydrology-only run — vegetation
+    stays at its prescribed initial state, water physics still runs and
+    conserves."""
+    cfg = Config(resolution_deg=12.0, start_year=1901, end_year=1901,
+                 forcing_block_days=60, cell_block=32, nisurf=8,
+                 output_path=str(tmp_path), use_pallas=False,
+                 vegetation=False)
+    grid, params = load_soil(cfg)
+    provider = SyntheticForcingProvider(
+        grid.n_padded, seed=9, lat=grid.cell_lat, dtype=jnp.float32)
+    sim = Simulation(cfg, params, land_grid=grid)
+    veg0 = sim.state.veg
+    results = sim.run(provider)
+    assert float(np.max(results[0]["max_abs_residual"])) < 0.1
+    np.testing.assert_array_equal(np.asarray(sim.state.veg.lai),
+                                  np.asarray(veg0.lai))
+    np.testing.assert_array_equal(np.asarray(sim.state.veg.plant_mass),
+                                  np.asarray(veg0.plant_mass))
+    assert float(np.max(results[0]["npp"])) == 0.0
+    # Water still moved.
+    assert float(np.sum(results[0]["evap"])) > 0.0
