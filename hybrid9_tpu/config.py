@@ -141,11 +141,14 @@ class Config:
     # --- Lateral flow (new capabilities) ----------------------------------
     lateral_routing: bool = True      # Route runoff through the D8 net
                                       # (physics/routing.py).
-    routing_scheme: str = "linear"    # "linear" (daily reservoir) or
-                                      # "kinematic" (sub-daily wave).
+    routing_scheme: str = "linear"    # "linear" (daily reservoir),
+                                      # "kinematic" (sub-daily wave) or
+                                      # "muskingum" (Muskingum-Cunge,
+                                      # per-reach geometry).
     routing_k: float = 0.2            # Linear-reservoir release per day.
-    routing_substeps: int = 8         # Kinematic transfer steps per day.
+    routing_substeps: int = 8         # Sub-daily transfer steps per day.
     routing_celerity: float = 0.8     # Kinematic ref celerity c0 (m/s).
+    routing_manning: float = 0.035    # Muskingum-Cunge channel Manning n.
     lateral_groundwater: bool = False  # Halo-exchange aquifer exchange
                                        # (physics/lateral.py).
     lateral_k: float = 1.0e-6         # Groundwater exchange coeff (/day).

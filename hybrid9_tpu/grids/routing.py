@@ -101,6 +101,93 @@ def flow_length_m(grid: LandGrid, downstream: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def cell_area_m2(grid: LandGrid) -> np.ndarray:
+    """Spherical cell area per packed cell ([n_padded], m^2).
+
+    Padding cells get 1 m^2 (never used — they hold no water).
+    """
+    ys = grid.land_idx // grid.nx
+    lat = grid.lat[ys]
+    res_m = grid.resolution_deg * _M_PER_DEG
+    area = res_m * res_m * np.cos(np.deg2rad(lat))
+    out = np.ones(grid.n_padded, np.float64)
+    out[:grid.n_land] = np.maximum(area, 1.0)
+    return out.astype(np.float32)
+
+
+def reach_slope(grid: LandGrid, downstream: np.ndarray,
+                elevation: np.ndarray | None = None, seed: int = 0
+                ) -> np.ndarray:
+    """Per-reach channel slope (elevation drop / hop length, [n_padded]).
+
+    The Muskingum-Cunge geometry input: for internal reaches the drop to
+    the downstream cell; for outlet-draining cells the drop to the
+    elevation-field minimum (sea level).  Clipped to [1e-5, 0.1] — the
+    floor keeps Manning velocity finite on flats, the cap keeps headwater
+    cliffs from producing supersonic celerity.  Pass the SAME elevation
+    (or seed) used for ``build_downstream_index`` so drops are >= 0.
+    """
+    ny, nx, n = grid.ny, grid.nx, grid.n_land
+    if elevation is None:
+        land = np.zeros(ny * nx, bool)
+        land[grid.land_idx] = True
+        elevation = synthetic_elevation(land.reshape(ny, nx), seed)
+    ys = grid.land_idx // nx
+    xs = grid.land_idx % nx
+    here = elevation[ys, xs]
+    down = np.asarray(downstream[:n], np.int64)
+    internal = down < n
+    di = np.where(internal, down, 0)
+    yd, xd = grid.land_idx[di] // nx, grid.land_idx[di] % nx
+    drop = np.where(internal, here - elevation[yd, xd],
+                    here - elevation.min())
+    length = np.asarray(flow_length_m(grid, downstream)[:n], np.float64)
+    out = np.full(grid.n_padded, 1e-5)
+    out[:n] = np.clip(drop / length, 1e-5, 0.1)
+    return out.astype(np.float32)
+
+
+def flow_accumulation(grid: LandGrid, downstream: np.ndarray
+                      ) -> np.ndarray:
+    """Upstream-inclusive drainage area per cell ([n_padded], m^2).
+
+    Kahn topological traversal of the D8 DAG (steepest descent cannot
+    cycle: elevation strictly decreases along flow).  Host-side, init
+    only — the analog of the reference's one-time soil regrid
+    (INIT.f90:579-600).  Feeds the hydraulic-geometry channel width.
+    """
+    from collections import deque
+
+    n = grid.n_land
+    down = np.asarray(downstream[:n], np.int64)
+    acc = cell_area_m2(grid).astype(np.float64)
+    indeg = np.zeros(n, np.int64)
+    internal = down < n
+    np.add.at(indeg, down[internal], 1)
+    queue = deque(np.nonzero(indeg == 0)[0].tolist())
+    while queue:
+        i = queue.popleft()
+        d = down[i]
+        if d < n:
+            acc[d] += acc[i]
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                queue.append(d)
+    return acc.astype(np.float32)
+
+
+def bankfull_width_m(acc_area_m2: np.ndarray, a: float = 0.5,
+                     w_min: float = 5.0, w_max: float = 3000.0
+                     ) -> np.ndarray:
+    """Channel width from drainage area by downstream hydraulic geometry
+    (w ~ a * sqrt(A), Leopold & Maddock scaling), clipped to
+    [w_min, w_max] m.  Gives ~25 m headwater channels at 0.5 degrees and
+    ~1.2 km at Amazon-scale accumulated area.
+    """
+    a_km2 = np.asarray(acc_area_m2, np.float64) / 1.0e6
+    return np.clip(a * np.sqrt(a_km2), w_min, w_max).astype(np.float32)
+
+
 def build_downstream_index(grid: LandGrid,
                            elevation: np.ndarray | None = None,
                            seed: int = 0) -> np.ndarray:

@@ -60,21 +60,35 @@ class Simulation:
             self.use_pallas = cfg.use_pallas
         self.routing = None
         if cfg.lateral_routing and land_grid is not None:
-            from .grids.routing import (build_downstream_index,
-                                        flow_length_m)
-            from .physics.routing import KinematicParams, RoutingParams
+            from .grids.routing import (bankfull_width_m,
+                                        build_downstream_index,
+                                        cell_area_m2, flow_accumulation,
+                                        flow_length_m, reach_slope)
+            from .physics.routing import (KinematicParams,
+                                          MuskingumParams, RoutingParams)
             down_np = build_downstream_index(land_grid)
-            downstream = jnp.asarray(down_np, jnp.int32)
-            if sharding is not None:
-                downstream = jax.device_put(
-                    downstream, sharding.spec_for(downstream))
-            if cfg.routing_scheme == "kinematic":
-                length = jnp.asarray(flow_length_m(land_grid, down_np))
+
+            def _put(arr, dtype=None):
+                arr = jnp.asarray(arr, dtype)
                 if sharding is not None:
-                    length = jax.device_put(
-                        length, sharding.spec_for(length))
+                    arr = jax.device_put(arr, sharding.spec_for(arr))
+                return arr
+
+            downstream = _put(down_np, jnp.int32)
+            if cfg.routing_scheme == "muskingum":
+                self.routing = MuskingumParams(
+                    downstream=downstream,
+                    flow_length=_put(flow_length_m(land_grid, down_np)),
+                    slope=_put(reach_slope(land_grid, down_np)),
+                    width=_put(bankfull_width_m(
+                        flow_accumulation(land_grid, down_np))),
+                    cell_area=_put(cell_area_m2(land_grid)),
+                    n_substeps=cfg.routing_substeps,
+                    n_manning=cfg.routing_manning)
+            elif cfg.routing_scheme == "kinematic":
                 self.routing = KinematicParams(
-                    downstream=downstream, flow_length=length,
+                    downstream=downstream,
+                    flow_length=_put(flow_length_m(land_grid, down_np)),
                     n_substeps=cfg.routing_substeps,
                     c0=cfg.routing_celerity)
             else:

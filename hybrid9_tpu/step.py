@@ -161,15 +161,21 @@ def _soil_temp(state, soil_new, params, forcing, geom):
 
 def _route(river_store, diags, routing):
     """Daily lateral routing of the day's runoff (physics/routing.py):
-    a daily linear reservoir (RoutingParams) or sub-daily kinematic wave
-    (KinematicParams), dispatched on the params type."""
+    a daily linear reservoir (RoutingParams), sub-daily kinematic wave
+    (KinematicParams) or Muskingum-Cunge (MuskingumParams), dispatched
+    on the params type."""
     if routing is None:
         diags = dict(diags, discharge=jnp.zeros_like(river_store))
         return river_store, diags
-    from .physics.routing import (KinematicParams, route_daily,
-                                  route_kinematic_day)
-    route = (route_kinematic_day if isinstance(routing, KinematicParams)
-             else route_daily)
+    from .physics.routing import (KinematicParams, MuskingumParams,
+                                  route_daily, route_kinematic_day,
+                                  route_muskingum_day)
+    if isinstance(routing, MuskingumParams):
+        route = route_muskingum_day
+    elif isinstance(routing, KinematicParams):
+        route = route_kinematic_day
+    else:
+        route = route_daily
     new_store, discharge = route(river_store, diags["rnf_day"], routing)
     return new_store, dict(diags, discharge=discharge)
 
