@@ -30,6 +30,7 @@ DELTX = BYMRAT - 1.0                # Humidity coeff. in Tv        (-)
 LHE = 2.5008e6                      # Latent heat of evap at 0 C   (J/kg)
 RVAP = 1000.0 * GASC / MWAT         # Specific gas constant, vapour(J/K/kg)
 TF = 273.16                         # Freezing point of water      (K)
+LFUS = 3.337e5                      # Latent heat of fusion        (J/kg)
 
 # ---------------------------------------------------------------------------
 # Soil numerics (SHARED.f90:294-300, 367, 506; HYDROLOGY.f90:135).

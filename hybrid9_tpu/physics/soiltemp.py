@@ -13,9 +13,11 @@ the water column:
 
 Thermal properties blend dry soil and water with moisture (de
 Vries-style): k = k_dry + (k_sat - k_dry) * Se, c_v = c_solid * (1 -
-theta_s) + c_water * theta.  One implicit solve per model day (G is
-constant within a day because forcing is daily), so the cost is
-negligible next to the 48 hydrology substeps.
+theta_s) + c_water * theta.  Freeze/thaw latent heat enters by the
+apparent-heat-capacity method over a band below TF (``latent_ramp``),
+giving the zero-curtain hold near 0 C.  One implicit solve per model
+day (G is constant within a day because forcing is daily), so the cost
+is negligible next to the 48 hydrology substeps.
 """
 
 from __future__ import annotations
@@ -37,7 +39,8 @@ def soil_temperature_step(t_soil: jnp.ndarray, theta: jnp.ndarray,
                           theta_s: jnp.ndarray, g_flux: jnp.ndarray,
                           dz_mm, zc_mm, dt: float,
                           t_air: jnp.ndarray = None,
-                          h_surf: jnp.ndarray = 0.0) -> jnp.ndarray:
+                          h_surf: jnp.ndarray = 0.0,
+                          latent_ramp: float = 0.0) -> jnp.ndarray:
     """One implicit heat-diffusion step.
 
     Args:
@@ -54,9 +57,23 @@ def soil_temperature_step(t_soil: jnp.ndarray, theta: jnp.ndarray,
         without it, a standalone G-forced column drifts unboundedly
         because nothing closes the surface energy balance.
       h_surf: ``[n]`` or scalar surface exchange conductance (W/m^2/K).
+      latent_ramp: if > 0 (K), freeze/thaw latent heat by the apparent
+        heat-capacity method: layers whose step intersects the freezing
+        band ``(TF - latent_ramp, TF)`` absorb the fusion enthalpy of
+        their water, ``rho_w * L_f * theta``, spread over the band — so
+        the column lingers near 0 C while its water changes phase (the
+        observed "zero curtain") instead of snapping through.  A
+        predictor pass with plain capacity locates the band crossings
+        (membership from the pre-step temperature alone lets a daily
+        step jump clean over a 2 K band), then the corrector re-solves
+        with the augmented capacity.  The band width matches
+        ``freeze_impedance``'s ice ramp, which diagnoses ice fraction
+        from the same temperatures.
 
     Returns the updated ``[n, nl]`` temperatures.
     """
+    from . import constants as c
+
     nl = t_soil.shape[1]
     t = unstack(t_soil)
     th = unstack(theta)
@@ -78,34 +95,48 @@ def soil_temperature_step(t_soil: jnp.ndarray, theta: jnp.ndarray,
         k_int = 0.5 * (k_l[i] + k_l[i + 1])
         g_if.append(k_int / (zc[i + 1] - zc[i]))
 
-    # Implicit tridiagonal assembly:
-    #   cv_i dz_i / dt (T'_i - T_i) = g_{i-1}(T'_{i-1}-T'_i)
-    #                                 - g_i(T'_i - T'_{i+1}) + [G]_top
-    a: List[jnp.ndarray] = []
-    b: List[jnp.ndarray] = []
-    cc: List[jnp.ndarray] = []
-    r: List[jnp.ndarray] = []
-    for i in range(nl):
-        diag = cv[i] * dz[i] / dt
-        rhs = diag * t[i]
-        lower = g_if[i - 1] if i > 0 else None
-        upper = g_if[i] if i < nl - 1 else None
-        bi = diag
-        if lower is not None:
-            bi = bi + lower
-        if upper is not None:
-            bi = bi + upper
-        if i == 0:
-            rhs = rhs + g_flux
-            if t_air is not None:
-                bi = bi + h_surf
-                rhs = rhs + h_surf * t_air
-        a.append(-lower if lower is not None else jnp.zeros_like(diag))
-        b.append(bi)
-        cc.append(-upper if upper is not None else jnp.zeros_like(diag))
-        r.append(rhs)
+    def solve(cv_eff):
+        # Implicit tridiagonal assembly:
+        #   cv_i dz_i / dt (T'_i - T_i) = g_{i-1}(T'_{i-1}-T'_i)
+        #                                 - g_i(T'_i - T'_{i+1}) + [G]_top
+        a: List[jnp.ndarray] = []
+        b: List[jnp.ndarray] = []
+        cc: List[jnp.ndarray] = []
+        r: List[jnp.ndarray] = []
+        for i in range(nl):
+            diag = cv_eff[i] * dz[i] / dt
+            rhs = diag * t[i]
+            lower = g_if[i - 1] if i > 0 else None
+            upper = g_if[i] if i < nl - 1 else None
+            bi = diag
+            if lower is not None:
+                bi = bi + lower
+            if upper is not None:
+                bi = bi + upper
+            if i == 0:
+                rhs = rhs + g_flux
+                if t_air is not None:
+                    bi = bi + h_surf
+                    rhs = rhs + h_surf * t_air
+            a.append(-lower if lower is not None
+                     else jnp.zeros_like(diag))
+            b.append(bi)
+            cc.append(-upper if upper is not None
+                      else jnp.zeros_like(diag))
+            r.append(rhs)
+        return _thomas_solve(a, b, cc, r)
 
-    t_new = _thomas_solve(a, b, cc, r)
+    t_new = solve(cv)
+    if latent_ramp > 0.0:
+        cv_aug: List[jnp.ndarray] = []
+        for i in range(nl):
+            lo = jnp.minimum(t[i], t_new[i])
+            hi = jnp.maximum(t[i], t_new[i])
+            crosses = ((lo < c.TF)
+                       & (hi > c.TF - latent_ramp)).astype(cv[i].dtype)
+            cv_aug.append(cv[i] + crosses * (c.RHOW * c.LFUS * th[i]
+                                             / latent_ramp))
+        t_new = solve(cv_aug)
     return stack(t_new)
 
 

@@ -156,7 +156,7 @@ def _soil_temp(state, soil_new, params, forcing, geom):
     return soil_temperature_step(state.t_soil, theta, params.theta_s,
                                  g_flux, geom.dz_soil, geom.zc_soil,
                                  c.SDAY, t_air=forcing.tas,
-                                 h_surf=h_surf)
+                                 h_surf=h_surf, latent_ramp=2.0)
 
 
 def _route(river_store, diags, routing):

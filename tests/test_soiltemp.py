@@ -89,3 +89,69 @@ def test_surface_coupling_anchors_to_air():
     # Equilibrium surface temperature: T_air + G/h = 285 - 0.2.
     np.testing.assert_allclose(np.asarray(t1[:, 0]), 284.8, atol=0.3)
     np.testing.assert_allclose(np.asarray(t1[:, -1]), 284.8, atol=0.5)
+
+
+def test_latent_heat_zero_curtain():
+    """With the apparent-heat-capacity freeze band, a cooling column
+    lingers near 0 C (zero curtain) instead of snapping through; with
+    the band off it crosses quickly.  Same steady cooling flux."""
+    from hybrid9_tpu.physics import constants as c
+
+    g = LayerGrid.from_interfaces()
+    nl = g.nsoil
+    n = 4
+    t = jnp.full((n, nl), c.TF + 0.5)
+    theta_s = jnp.full((n, nl), 0.45)
+    theta = jnp.full((n, nl), 0.35)          # wet soil: lots of fusion
+    dz = tuple(map(float, g.dz[:nl]))
+    zc = tuple(map(float, g.zc[:nl]))
+    cool = jnp.full(n, -30.0)                # W/m^2 out of the column
+
+    t_fast = t
+    t_slow = t
+    for day in range(20):
+        t_fast = soil_temperature_step(t_fast, theta, theta_s, cool,
+                                       dz, zc, 86400.0)
+        t_slow = soil_temperature_step(t_slow, theta, theta_s, cool,
+                                       dz, zc, 86400.0,
+                                       latent_ramp=2.0)
+        if day == 4:
+            # Five days in: the plain column has snapped well below the
+            # band, the latent column is still held inside it.
+            assert float(t_fast[0, 0]) < c.TF - 5.0
+            assert float(t_slow[0, 0]) > c.TF - 2.0
+    # After 20 days of steady cooling the latent column has finally
+    # broken through the band, but stays far behind the plain one.
+    assert float(t_fast[0, 0]) < c.TF - 15.0
+    assert float(t_slow[0, 0]) < c.TF - 2.0
+    assert float(t_slow[0, 0]) > float(t_fast[0, 0]) + 10.0
+
+
+def test_latent_energy_closure():
+    """The implicit solve still closes energy with the apparent
+    capacity: sum(c_app dz dT) per step equals the boundary flux."""
+    from hybrid9_tpu.physics import constants as c
+
+    t, theta, theta_s, dz, zc = _setup(seed=3)
+    t = jnp.clip(t, c.TF - 3.0, c.TF + 3.0)  # straddle the band
+    flux = jnp.asarray(np.linspace(-50.0, 50.0, t.shape[0]))
+    dt = 86400.0
+    ramp = 2.0
+    from hybrid9_tpu.physics.soiltemp import C_SOLID, C_WATER
+
+    t1 = soil_temperature_step(t, theta, theta_s, flux, dz, zc, dt,
+                               latent_ramp=ramp)
+    # Reconstruct the corrector's capacity: band membership comes from
+    # the plain-capacity predictor pass.
+    t_est = np.asarray(soil_temperature_step(t, theta, theta_s, flux,
+                                             dz, zc, dt))
+    lo = np.minimum(np.asarray(t), t_est)
+    hi = np.maximum(np.asarray(t), t_est)
+    cv = C_SOLID * (1.0 - np.asarray(theta_s)) \
+        + C_WATER * np.asarray(theta)
+    band = (lo < c.TF) & (hi > c.TF - ramp)
+    cv = cv + band * (c.RHOW * c.LFUS * np.asarray(theta) / ramp)
+    de = np.sum(cv * np.asarray(dz)[None, :] / 1000.0
+                * np.asarray(t1 - t), axis=1)
+    np.testing.assert_allclose(de, np.asarray(flux) * dt, rtol=1e-4,
+                               atol=1.0)
