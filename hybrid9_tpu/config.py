@@ -159,6 +159,12 @@ class Config:
     frozen_soil: bool = True          # Frozen-ground hydraulic impedance
                                       # from the prognostic temperature
                                       # column (soiltemp.freeze_impedance).
+    soil_ice: bool = True             # Prognostic soil-ice store: daily
+                                      # explicit phase change (sensible
+                                      # heat <-> ice mass, exactly
+                                      # conservative) and impedance from
+                                      # the true ice fraction.  False =
+                                      # temperature-ramp proxy only.
     vegetation: bool = True           # Daily GROW dynamics; False =
                                       # hydrology-only mode (LAI/roots
                                       # frozen at initial values;

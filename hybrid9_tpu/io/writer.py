@@ -39,6 +39,7 @@ ANNUAL_UNITS = {
     "theta_total": "mm",
     "theta": "m3 m-3",
     "swe": "mm",
+    "soil_ice": "mm",
     "max_abs_residual": "mm",
 }
 

@@ -33,6 +33,9 @@ K_DRY = 0.30       # Dry soil thermal conductivity            (W/m/K)
 K_SAT = 1.80       # Saturated soil thermal conductivity      (W/m/K)
 C_SOLID = 2.0e6    # Volumetric heat capacity of soil solids  (J/m^3/K)
 C_WATER = 4.18e6   # Volumetric heat capacity of water        (J/m^3/K)
+C_ICE = 1.9e6      # Volumetric heat capacity of ice          (J/m^3/K)
+WATMIN = 0.01      # Liquid floor never frozen (mm; reference watmin,
+                   # HYDROLOGY.f90:1156)
 
 
 def soil_temperature_step(t_soil: jnp.ndarray, theta: jnp.ndarray,
@@ -150,6 +153,65 @@ def column_energy(t_soil: jnp.ndarray, theta: jnp.ndarray,
         term = cv * (dz_mm[i] / 1000.0) * t_soil[:, i]
         total = term if total is None else total + term
     return total
+
+
+def phase_change(t_soil: jnp.ndarray, liq_mm: jnp.ndarray,
+                 ice_mm: jnp.ndarray, theta_s: jnp.ndarray, dz_mm
+                 ) -> tuple:
+    """Explicit CLM-style soil freeze/thaw: sensible heat <-> ice mass.
+
+    Runs once per day after the plain-capacity temperature solve (use
+    ``latent_ramp=0`` there — this replaces the apparent-capacity proxy
+    with a real prognostic ice store).  Per layer:
+
+      freeze = min(liq - watmin, hc (TF - T) / L_f)   where T < TF
+      melt   = min(ice,          hc (T - TF) / L_f)   where T > TF
+      T' = T + (freeze - melt) L_f / hc
+
+    with hc the layer heat content per kelvin (J/m^2/K) and L_f the
+    fusion enthalpy per mm of water (1 mm = 1 kg/m^2, so L_f = LFUS
+    J/m^2/mm).  By construction T' cannot overshoot TF from either
+    side, total water ``liq + ice`` is invariant, and the energy
+    exchanged is exactly ``(freeze - melt) * L_f`` — both conservation
+    laws hold to round-off.  The ``watmin`` floor (the reference's
+    minimum layer water, HYDROLOGY.f90:1156) keeps a trace of liquid so
+    the Richards solve never sees a fully dry layer.
+
+    Args:
+      t_soil: ``[n, nl]`` layer temperatures (K), post heat solve.
+      liq_mm: ``[n, nl]`` liquid water (mm).
+      ice_mm: ``[n, nl]`` ice (mm).
+      theta_s: ``[n, nl]`` porosity (for the solids' heat capacity).
+      dz_mm: static layer thicknesses (mm, tuple).
+
+    Returns ``(t_new, liq_new, ice_new)``.
+    """
+    from . import constants as c
+
+    dz_m = jnp.asarray(dz_mm, t_soil.dtype)[None, :] / 1000.0
+    th_liq = liq_mm / (dz_m * 1000.0)
+    th_ice = ice_mm / (dz_m * 1000.0)
+    hc = (C_SOLID * (1.0 - theta_s) + C_WATER * th_liq
+          + C_ICE * th_ice) * dz_m                      # J/m^2/K
+    cold = jnp.maximum(c.TF - t_soil, 0.0)
+    warm = jnp.maximum(t_soil - c.TF, 0.0)
+    freeze = jnp.minimum(jnp.maximum(liq_mm - WATMIN, 0.0),
+                         hc * cold / c.LFUS)
+    melt = jnp.minimum(ice_mm, hc * warm / c.LFUS)
+    t_new = t_soil + (freeze - melt) * c.LFUS / hc
+    return t_new, liq_mm - freeze + melt, ice_mm + freeze - melt
+
+
+def freeze_impedance_from_ice(liq_mm: jnp.ndarray, ice_mm: jnp.ndarray,
+                              omega: float = 6.0) -> jnp.ndarray:
+    """Hydraulic impedance from the prognostic ice store, ``[n, nl]``:
+    the CLM ``f = 10^(-omega * F_ice)`` (Swenson et al. 2012) with the
+    TRUE ice mass fraction ``F_ice = ice / (liq + ice)`` instead of
+    ``freeze_impedance``'s temperature-ramp proxy.  Ice-free soil
+    returns exactly 1.
+    """
+    f_ice = ice_mm / jnp.maximum(liq_mm + ice_mm, 1e-12)
+    return jnp.power(10.0, -omega * f_ice)
 
 
 def freeze_impedance(t_soil: jnp.ndarray, omega: float = 6.0,

@@ -158,7 +158,8 @@ class Simulation:
                 pallas_block=cfg.pallas_block, routing=self.routing,
                 lateral=self.lateral, snow=self.snow,
                 focus_idx=self.focus_idx, freeze=cfg.frozen_soil,
-                vegetation=cfg.vegetation)
+                vegetation=cfg.vegetation,
+                soil_ice=cfg.frozen_soil and cfg.soil_ice)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 self.focus_writer.append(year, doy, focus)

@@ -90,9 +90,14 @@ class VegState:
 class ModelState:
     """Full prognostic state: soil + vegetation + river network.
 
-    ``river_store`` (lateral routing) and ``t_soil`` (prognostic soil
-    temperature, physics/soiltemp.py) are new capabilities beyond the
-    reference.
+    ``river_store`` (lateral routing), ``t_soil`` (prognostic soil
+    temperature, physics/soiltemp.py), ``swe`` (snowpack) and
+    ``h2osoi_ice`` (prognostic soil ice, exchanged with ``h2osoi_liq``
+    by the daily phase-change step) are new capabilities beyond the
+    reference.  Ice lives here rather than in ``SoilState`` so the
+    validated liquid-water hydrology kernels (incl. the Pallas day
+    kernel) are untouched: they see only the liquid store, and the
+    phase change runs once per day outside them.
     """
 
     soil: SoilState
@@ -100,6 +105,7 @@ class ModelState:
     river_store: jax.Array    # [n] River store for routed flow      (mm)
     t_soil: jax.Array         # [n, nl] Soil temperature column       (K)
     swe: jax.Array            # [n] Snow water equivalent            (mm)
+    h2osoi_ice: jax.Array     # [n, nl] Soil ice per layer           (mm)
 
 
 @struct.dataclass
@@ -164,6 +170,7 @@ class AnnualAccumulators:
     theta_sum: jax.Array        # [n, 8] Volumetric water          (m^3/m^3)
     h2osoi_total_sum: jax.Array  # [n] Total column water              (mm)
     swe_sum: jax.Array          # [n] Snow water equivalent            (mm)
+    ice_sum: jax.Array          # [n] Total column soil ice            (mm)
     n_days: jax.Array           # [] Days accumulated                   (-)
     max_abs_residual: jax.Array  # [n] Max |water-balance residual|    (mm)
 
@@ -179,6 +186,7 @@ class AnnualAccumulators:
             theta_sum=jnp.zeros((n, nsoil), dtype),
             h2osoi_total_sum=z,
             swe_sum=z,
+            ice_sum=z,
             n_days=jnp.zeros((), dtype),
             max_abs_residual=z,
         )
@@ -247,4 +255,5 @@ def initial_state(params: SoilParams, dz_mm: np.ndarray, zi_mm: np.ndarray,
     return ModelState(soil=soil, veg=veg,
                       river_store=jnp.zeros((n,), dtype),
                       t_soil=jnp.full((n, nsoil), 283.15, dtype),
-                      swe=jnp.zeros((n,), dtype))
+                      swe=jnp.zeros((n,), dtype),
+                      h2osoi_ice=jnp.zeros((n, nsoil), dtype))

@@ -31,7 +31,7 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              geom: Geometry, dt: float, nisurf: int,
              use_pallas: bool = False, pallas_block: int = 1024,
              routing=None, lateral=None, snow=None, freeze: bool = False,
-             vegetation: bool = True
+             vegetation: bool = True, soil_ice: bool = False
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -51,12 +51,18 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         swe, pr_eff, _melt, snow_capped = snow_step(
             swe, forcing.tas, forcing.pr, snow)
         forcing = forcing.replace(pr=pr_eff)
-    # Frozen-soil impedance from yesterday's temperature column (lagged
-    # like smp; constant across the day's substeps).
+    # Frozen-soil impedance, lagged like smp and constant across the
+    # day's substeps: from the prognostic ice store when it is on,
+    # else from yesterday's temperature column (ramp proxy).
     imp = None
     if freeze:
-        from .physics.soiltemp import freeze_impedance
-        imp = freeze_impedance(state.t_soil)
+        if soil_ice:
+            from .physics.soiltemp import freeze_impedance_from_ice
+            imp = freeze_impedance_from_ice(state.soil.h2osoi_liq,
+                                            state.h2osoi_ice)
+        else:
+            from .physics.soiltemp import freeze_impedance
+            imp = freeze_impedance(state.t_soil)
 
     if use_pallas:
         from .physics.pallas_day import pallas_hydrology_day
@@ -73,9 +79,10 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
             diags["rnf_day"] = diags["rnf_day"] + snow_capped
         river, diags = _route(state.river_store, diags, routing)
         soil = _lateral(soil, lateral)
-        t_soil = _soil_temp(state, soil, params, forcing, geom)
+        t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
+                                          geom, soil_ice)
         return ModelState(soil=soil, veg=veg, river_store=river,
-                          t_soil=t_soil, swe=swe), diags
+                          t_soil=t_soil, swe=swe, h2osoi_ice=ice), diags
 
     fd = derive_forcing(forcing)
     veg = state.veg
@@ -112,9 +119,10 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         diags["rnf_day"] = diags["rnf_day"] + snow_capped
     river, diags = _route(state.river_store, diags, routing)
     soil = _lateral(soil, lateral)
-    t_soil = _soil_temp(state, soil, params, forcing, geom)
+    t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
+                                      geom, soil_ice)
     return ModelState(soil=soil, veg=veg, river_store=river,
-                      t_soil=t_soil, swe=swe), diags
+                      t_soil=t_soil, swe=swe, h2osoi_ice=ice), diags
 
 
 def _grow(veg, soil, forcing, geom, vegetation: bool):
@@ -136,13 +144,21 @@ def _lateral(soil, lateral):
     return soil.replace(wa=wa_new)
 
 
-def _soil_temp(state, soil_new, params, forcing, geom):
+def _soil_thermal(state, soil_new, params, forcing, geom,
+                  soil_ice: bool):
     """Daily implicit soil-heat step driven by the SW85 ground heat flux
     G = 0.2 * Rnet * exp(-0.7 * LAI) (HYDROLOGY.f90:335-339), using the
     LAI in effect during the day's substeps, plus an implicit sensible
     exchange h * (tas - T_1) through the SW85 aerodynamic resistance raa
     (HYDROLOGY.f90:312-318), which anchors the column to the atmosphere
-    so the long-term surface energy balance closes."""
+    so the long-term surface energy balance closes.
+
+    With ``soil_ice`` the solve runs with plain heat capacity and the
+    explicit phase-change step (physics/soiltemp.py) exchanges sensible
+    heat for ice mass afterwards; otherwise freeze/thaw latent heat is
+    approximated in-solve by the apparent-capacity band.  Returns
+    ``(t_soil, soil, h2osoi_ice)``.
+    """
     lai = state.veg.lai
     rnet = (0.92 * forcing.rsds + forcing.rlds
             - c.STBO * forcing.tas ** 4)
@@ -152,11 +168,21 @@ def _soil_temp(state, soil_new, params, forcing, geom):
     rho_air = forcing.ps / (c.RGAS * forcing.tas)
     h_surf = rho_air * c.CP_AIR / jnp.maximum(raa, 1.0)
     dz = jnp.asarray(geom.dz_soil, soil_new.h2osoi_liq.dtype)
-    theta = soil_new.h2osoi_liq / (dz[None, :] * c.RHOW / 1.0e3)
-    return soil_temperature_step(state.t_soil, theta, params.theta_s,
-                                 g_flux, geom.dz_soil, geom.zc_soil,
-                                 c.SDAY, t_air=forcing.tas,
-                                 h_surf=h_surf, latent_ramp=2.0)
+    water = soil_new.h2osoi_liq
+    if soil_ice:
+        water = water + state.h2osoi_ice   # ice conducts/stores heat too
+    theta = water / (dz[None, :] * c.RHOW / 1.0e3)
+    t_soil = soil_temperature_step(
+        state.t_soil, theta, params.theta_s, g_flux, geom.dz_soil,
+        geom.zc_soil, c.SDAY, t_air=forcing.tas, h_surf=h_surf,
+        latent_ramp=0.0 if soil_ice else 2.0)
+    if not soil_ice:
+        return t_soil, soil_new, state.h2osoi_ice
+    from .physics.soiltemp import phase_change
+    t_soil, liq, ice = phase_change(t_soil, soil_new.h2osoi_liq,
+                                    state.h2osoi_ice, params.theta_s,
+                                    geom.dz_soil)
+    return t_soil, soil_new.replace(h2osoi_liq=liq), ice
 
 
 def _route(river_store, diags, routing):
@@ -204,6 +230,7 @@ def _accumulate(acc: AnnualAccumulators, state: ModelState,
         h2osoi_total_sum=acc.h2osoi_total_sum
         + jnp.sum(state.soil.h2osoi_liq, axis=-1),
         swe_sum=acc.swe_sum + state.swe,
+        ice_sum=acc.ice_sum + jnp.sum(state.h2osoi_ice, axis=-1),
         n_days=acc.n_days + 1.0,
         max_abs_residual=jnp.maximum(acc.max_abs_residual,
                                      diags["max_abs_residual"]),
@@ -239,13 +266,13 @@ def _focus_row(state: ModelState, forcing: Forcing,
 @functools.partial(jax.jit,
                    static_argnames=("nisurf", "dt", "geom", "use_pallas",
                                     "pallas_block", "focus_idx",
-                                    "freeze", "vegetation"))
+                                    "freeze", "vegetation", "soil_ice"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
                pallas_block: int = 1024, routing=None, lateral=None,
                snow=None, focus_idx=None, freeze: bool = False,
-               vegetation: bool = True):
+               vegetation: bool = True, soil_ice: bool = False):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
@@ -263,7 +290,7 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
                              use_pallas=use_pallas,
                              pallas_block=pallas_block, routing=routing,
                              lateral=lateral, snow=snow, freeze=freeze,
-                             vegetation=vegetation)
+                             vegetation=vegetation, soil_ice=soil_ice)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)
@@ -300,5 +327,6 @@ def annual_means(acc: AnnualAccumulators, nisurf: int
         theta=acc.theta_sum / nt,
         theta_total=acc.h2osoi_total_sum / nt,
         swe=acc.swe_sum / nt,
+        soil_ice=acc.ice_sum / nt,
         max_abs_residual=acc.max_abs_residual,
     )

@@ -54,7 +54,8 @@ def main() -> None:
                 lambda s, f: day_step(s, f, params, geom, cfg.dt,
                                       cfg.nisurf, use_pallas=use_pallas,
                                       pallas_block=cfg.pallas_block,
-                                      snow=SnowParams(), freeze=True)
+                                      snow=SnowParams(), freeze=True,
+                                      soil_ice=True)
             )(state, forcing)
             float(jnp.sum(st.soil.h2osoi_liq))   # drain the queue
             print(f"{n} cells, {tag} day step: "
