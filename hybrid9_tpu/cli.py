@@ -64,10 +64,15 @@ def cmd_run(args: argparse.Namespace) -> int:
     state = None
     start_year = cfg.start_year
     if args.resume:
+        import jax.numpy as jnp
+
         from .io.checkpoint import Checkpointer
         from .state import initial_state
         lg = cfg.layer_grid()
-        template = initial_state(params, lg.dz, lg.zi)
+        # The template must match the configured dtype or Orbax's abstract
+        # restore builds the wrong leaves for float64 runs.
+        template = initial_state(params, lg.dz, lg.zi,
+                                 jnp.dtype(cfg.dtype))
         ck = Checkpointer(cfg.checkpoint_path)
         year, state = ck.restore(template)
         start_year = year + 1

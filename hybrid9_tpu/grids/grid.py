@@ -116,7 +116,12 @@ class LandGrid:
         """
         ys = self.land_idx // self.nx
         xs = self.land_idx % self.nx
-        d2 = (self.lon[xs] - lon_w) ** 2 + (self.lat[ys] - lat_w) ** 2
+        # Wrap the longitude difference so a dateline focus point finds
+        # its true neighbour, and weight it by cos(lat) so nearest-cell
+        # selection is not biased at high latitude.
+        dlon = (self.lon[xs] - lon_w + 180.0) % 360.0 - 180.0
+        dlat = self.lat[ys] - lat_w
+        d2 = (dlon * np.cos(np.deg2rad(lat_w))) ** 2 + dlat ** 2
         return int(np.argmin(d2))
 
 

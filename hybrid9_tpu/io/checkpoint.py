@@ -26,6 +26,40 @@ except Exception:  # pragma: no cover
     HAVE_ORBAX = False
 
 
+def _fill_from_raw(template, raw):
+    """Rebuild ``template``'s pytree from a raw (nested-dict) restore.
+
+    Leaves present in ``raw`` are cast to the template leaf's dtype;
+    leaves absent from ``raw`` (fields added after the checkpoint was
+    written) are zero-filled.  Returns ``(state, n_missing)``.
+    """
+    import jax.numpy as jnp
+
+    def lookup(path, node):
+        for k in path:
+            name = getattr(k, "name", None)
+            if name is None:
+                name = getattr(k, "key", None)
+            if not isinstance(node, dict) or name not in node:
+                return None
+            node = node[name]
+        return node
+
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        template)
+    filled = []
+    n_missing = 0
+    for path, leaf in paths_and_leaves:
+        val = lookup(path, raw)
+        if val is None:
+            val = jnp.zeros_like(leaf)
+            n_missing += 1
+        else:
+            val = jnp.asarray(val, leaf.dtype)
+        filled.append(val)
+    return jax.tree_util.tree_unflatten(treedef, filled), n_missing
+
+
 class Checkpointer:
     """Orbax-backed checkpoint manager keyed by simulated year."""
 
@@ -52,15 +86,27 @@ class Checkpointer:
         """Restore the checkpoint at ``year`` (default latest).
 
         ``template`` provides shapes/dtypes/shardings for the restored
-        pytree (abstract restore works across device topologies).
+        pytree (abstract restore works across device topologies).  When
+        the stored tree predates a state-schema extension (e.g. the
+        addition of ``swe``/``h2osoi_ice``), the missing fields are
+        filled with zeros from the template instead of failing.
         """
         step = year if year is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.path}")
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, template)
-        state = self.manager.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        try:
+            state = self.manager.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except (ValueError, KeyError) as e:
+            log.warning("strict restore failed (%s); migrating schema "
+                        "with zero-filled missing fields", e)
+            raw = self.manager.restore(
+                step, args=ocp.args.StandardRestore())
+            state, n_missing = _fill_from_raw(template, raw)
+            log.warning("schema migration: %d field(s) zero-filled",
+                        n_missing)
         log.info("restored checkpoint for year %d", step)
         return int(step), state
 

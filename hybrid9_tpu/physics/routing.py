@@ -207,7 +207,11 @@ def route_muskingum_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
     dt_r = 86400.0 / p.n_substeps
     local_sub = local_runoff_mm / p.n_substeps
     to_ocean = p.downstream >= n
-    sqrt_s0 = jnp.sqrt(p.slope)
+    # Guard against slope == 0 from direct MuskingumParams constructors
+    # (grids/routing.py reach_slope already floors at 1e-5, but a flat
+    # reach with an empty store would otherwise produce 0/0 in x_w).
+    slope = jnp.maximum(p.slope, 1.0e-6)
+    sqrt_s0 = jnp.sqrt(slope)
 
     def substep(carry, _):
         s, dis = carry
@@ -217,7 +221,7 @@ def route_muskingum_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
         cel = jnp.clip(5.0 / 3.0 * v, p.c_min, p.c_max)
         k_t = p.flow_length / cel                            # s
         x_w = jnp.clip(0.5 * (1.0 - (v * h)
-                              / (p.slope * cel * p.flow_length)),
+                              / (slope * cel * p.flow_length)),
                        0.0, 0.5)
         # Pass 1: kinematic outflow estimate -> same-substep inflow.
         out_kin = jnp.minimum(1.0, dt_r / k_t) * s

@@ -171,7 +171,11 @@ class Simulation:
         means = {k: np.asarray(v) for k, v in means.items()}
         elapsed = time.perf_counter() - t0
         self._health_check(year, means)
-        max_res = float(np.max(means["max_abs_residual"]))
+        # Same land-only slice as _health_check: padding lanes carry real
+        # (cell-0) forcing and would otherwise report phantom residuals.
+        res_land = means["max_abs_residual"][:self.n_land] \
+            if self.n_land is not None else means["max_abs_residual"]
+        max_res = float(np.max(res_land)) if res_land.size else 0.0
         log.info("year %d: %d days in %.2fs (%.0f cell-days/s), "
                  "max|residual|=%.3g mm", year, ndays, elapsed,
                  self.n * ndays / elapsed, max_res)
@@ -228,4 +232,7 @@ class Simulation:
         if checkpointer is not None:
             # Asynchronous saves must land before interpreter teardown.
             checkpointer.wait()
+        if self.focus_writer is not None:
+            self.focus_writer.close()
+            self.focus_writer = None
         return self.annual_results

@@ -81,10 +81,24 @@ def test_grid_cell_lookup():
     i = grid.cell_index_of(-120.95, 38.41)
     assert 0 <= i < grid.n_land
     # It must be the nearest land cell (synthetic continents need not
-    # have land at the exact site).
-    d2 = (grid.cell_lon[:grid.n_land] + 120.95) ** 2 \
+    # have land at the exact site), under the wrap + cos(lat) metric.
+    dlon = (grid.cell_lon[:grid.n_land] + 120.95 + 180.0) % 360.0 - 180.0
+    d2 = (dlon * np.cos(np.deg2rad(38.41))) ** 2 \
         + (grid.cell_lat[:grid.n_land] - 38.41) ** 2
     assert i == int(np.argmin(d2))
+
+
+def test_grid_cell_lookup_dateline():
+    """A focus point just west of the dateline must resolve to a cell
+    just east of it (longitude wrap), not to the far side of the map."""
+    mask = np.zeros((45, 90), dtype=bool)   # 4-degree grid
+    # Land only in the first and last longitude columns near the equator.
+    mask[20:25, 0] = True     # lon = -178
+    mask[20:25, 45] = True    # lon = +2 (map middle)
+    grid = make_land_grid(mask, 4.0, pad_multiple=16)
+    i = grid.cell_index_of(179.8, 0.0)
+    # Nearest by wrapped distance is lon -178 (2.2 deg away), not +2.
+    assert grid.cell_lon[i] == -178.0
 
 
 def test_cell_centres():
@@ -151,6 +165,66 @@ def test_checkpoint_roundtrip(tmp_path, layer_grid):
                                   np.asarray(state.soil.h2osoi_liq))
     np.testing.assert_array_equal(np.asarray(restored.veg.lai),
                                   np.asarray(state.veg.lai))
+    ckpt.close()
+
+
+def test_checkpoint_roundtrip_float64(tmp_path, layer_grid):
+    """A float64 run must restore as float64 (the resume-template dtype
+    path in cli.py passes the configured dtype)."""
+    pytest.importorskip("orbax.checkpoint")
+    from hybrid9_tpu.data.synthetic import synthetic_soil_params
+    from hybrid9_tpu.io.checkpoint import Checkpointer
+    from hybrid9_tpu.state import SoilParams, initial_state
+
+    raw = synthetic_soil_params(16, seed=0)
+    params = SoilParams(**{k: jnp.asarray(v, jnp.float64)
+                           for k, v in raw.items()})
+    state = initial_state(params, layer_grid.dz, layer_grid.zi,
+                          jnp.float64)
+    ckpt = Checkpointer(str(tmp_path / "ckpt64"))
+    ckpt.save(1903, state)
+    ckpt.wait()
+    template = initial_state(params, layer_grid.dz, layer_grid.zi,
+                             jnp.float64)
+    year, restored = ckpt.restore(template)
+    assert year == 1903
+    assert restored.soil.h2osoi_liq.dtype == jnp.float64
+    np.testing.assert_array_equal(np.asarray(restored.soil.h2osoi_liq),
+                                  np.asarray(state.soil.h2osoi_liq))
+    ckpt.close()
+
+
+def test_checkpoint_schema_migration(tmp_path, layer_grid):
+    """Restoring a checkpoint written before a state-schema extension
+    zero-fills the missing fields instead of failing (the swe /
+    h2osoi_ice addition broke old checkpoints in round 1)."""
+    ocp = pytest.importorskip("orbax.checkpoint")
+    import dataclasses
+
+    from hybrid9_tpu.data.synthetic import synthetic_soil_params
+    from hybrid9_tpu.io.checkpoint import Checkpointer
+    from hybrid9_tpu.state import SoilParams, initial_state
+
+    raw = synthetic_soil_params(16, seed=0)
+    params = SoilParams(**{k: jnp.asarray(v, jnp.float32)
+                           for k, v in raw.items()})
+    state = initial_state(params, layer_grid.dz, layer_grid.zi,
+                          jnp.float32)
+    # Simulate an "old" checkpoint: the saved tree lacks swe/h2osoi_ice.
+    old_tree = dataclasses.asdict(state)
+    old_tree.pop("swe")
+    old_tree.pop("h2osoi_ice")
+    ckpt = Checkpointer(str(tmp_path / "ckpt_old"))
+    ckpt.manager.save(1904, args=ocp.args.StandardSave(old_tree))
+    ckpt.wait()
+    year, restored = ckpt.restore(state)
+    assert year == 1904
+    np.testing.assert_array_equal(np.asarray(restored.soil.h2osoi_liq),
+                                  np.asarray(state.soil.h2osoi_liq))
+    # Missing fields come back zero-filled with the template's shape.
+    assert restored.swe.shape == state.swe.shape
+    np.testing.assert_array_equal(np.asarray(restored.swe), 0.0)
+    np.testing.assert_array_equal(np.asarray(restored.h2osoi_ice), 0.0)
     ckpt.close()
 
 

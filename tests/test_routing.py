@@ -406,3 +406,32 @@ def test_muskingum_wiring(tmp_path):
     results = sim.run(provider)
     assert float(np.max(results[0]["max_abs_residual"])) < 0.1
     assert float(np.sum(results[0]["discharge"])) > 0.0
+
+
+def test_muskingum_zero_slope_no_nan():
+    """A reach with slope=0 and an empty store must not produce NaN:
+    the router clamps the slope internally (direct MuskingumParams
+    constructors bypass reach_slope's 1e-5 floor)."""
+    from hybrid9_tpu.physics.routing import (MuskingumParams,
+                                             route_muskingum_day)
+
+    n = 4
+    down = jnp.asarray([1, 2, 3, n], jnp.int32)
+    p = MuskingumParams(
+        downstream=down,
+        flow_length=jnp.full((n,), 5.0e4),
+        slope=jnp.zeros((n,)),               # flat — the hazardous case
+        width=jnp.full((n,), 50.0),
+        cell_area=jnp.full((n,), 2.0e9),
+        n_substeps=4)
+    store = jnp.zeros((n,))                  # empty store too
+    local = jnp.zeros((n,))
+    s, dis = route_muskingum_day(store, local, p)
+    assert np.all(np.isfinite(np.asarray(s)))
+    assert np.all(np.isfinite(np.asarray(dis)))
+    # And with water present it still conserves mass.
+    s, dis = route_muskingum_day(jnp.full((n,), 5.0),
+                                 jnp.full((n,), 1.0), p)
+    assert np.all(np.isfinite(np.asarray(s)))
+    np.testing.assert_allclose(float(jnp.sum(s)) + float(jnp.sum(dis)),
+                               4 * 5.0 + 4 * 1.0, rtol=1e-5)
