@@ -47,14 +47,29 @@ def main() -> None:
     n_warmup = 3
     n_iters = 100
     use_pallas = os.environ.get("H9_BENCH_PALLAS", "1") != "0"
+    # H9_BENCH_SHARD=1: run the sharded production path (shard_map'd
+    # Pallas kernel over a mesh of all local devices) — must match the
+    # unsharded number on one chip (VERDICT round-1 item 1).
+    shard = os.environ.get("H9_BENCH_SHARD", "0") != "0"
 
     from __graft_entry__ import _build
     from hybrid9_tpu.step import day_step
     step_fn, state, forcing, params, geom, cfg = _build(n_cells)
 
+    mesh = None
+    if shard:
+        from hybrid9_tpu.parallel.sharding import CellSharding
+        cs = CellSharding.create()
+        cs.check_divisible(n_cells)
+        state = cs.put(state)
+        forcing = cs.put(forcing)
+        params = cs.put(params)
+        mesh = cs.mesh
+
     step = jax.jit(
         lambda s, f: day_step(s, f, params, geom, cfg.dt, cfg.nisurf,
-                              use_pallas=use_pallas, pallas_block=1024))
+                              use_pallas=use_pallas, pallas_block=1024,
+                              mesh=mesh if use_pallas else None))
 
     def sync(st):
         # Forced D2H transfer: the only reliable queue drain here.

@@ -114,8 +114,12 @@ class Config:
     forcing_block_days: int = 366     # Days of forcing resident per block.
 
     # --- Soil parameters (INIT.f90:473-726) -------------------------------
-    soil_source: str = "synthetic"    # "synthetic" | "netcdf".
-    soil_path: Optional[str] = None
+    soil_source: str = "synthetic"    # "synthetic" | "netcdf" | "raw".
+    soil_path: Optional[str] = None   # Preprocessed per-layer file
+                                      # (written by prep-soil for "raw").
+    soil_hwsd_path: Optional[str] = None   # Raw HWSD texture NetCDF.
+    soil_bnu_dir: Optional[str] = None     # Raw BNU 30-arc-sec archive dir.
+    soil_fmax_path: Optional[str] = None   # Raw Fmax NetCDF (optional).
 
     # --- Site / single-column mode (driver.txt:6-16) ----------------------
     interactive: bool = False         # Single-cell diagnostic mode.
@@ -137,6 +141,8 @@ class Config:
     use_pallas: Optional[bool] = None  # VMEM-resident Pallas day kernel;
                                        # None = auto (TPU only).
     pallas_block: int = 1024          # Cells per Pallas VMEM tile.
+    pallas_interpret: bool = False    # Run Pallas kernels in interpreter
+                                      # mode (CPU tests only).
 
     # --- Lateral flow (new capabilities) ----------------------------------
     lateral_routing: bool = True      # Route runoff through the D8 net

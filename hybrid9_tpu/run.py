@@ -50,14 +50,23 @@ class Simulation:
             self.params = jax.device_put(
                 params, sharding.state_sharding(params))
         self.state = state
+        self.mesh = sharding.mesh if sharding is not None else None
+        per_device = (self.n // sharding.n_devices
+                      if sharding is not None else self.n)
         if cfg.use_pallas is None:
             # Auto: the Pallas day kernel needs a real TPU backend and a
-            # cell count divisible by the block size.
+            # per-device cell count divisible by the block size.  Under a
+            # mesh the kernel runs shard_map'd (pallas_day.py) so the
+            # multi-chip production path keeps the Pallas speed.
             self.use_pallas = (jax.default_backend() == "tpu"
-                               and self.n % cfg.pallas_block == 0
-                               and sharding is None)
+                               and per_device % cfg.pallas_block == 0)
         else:
             self.use_pallas = cfg.use_pallas
+        if self.use_pallas and per_device % cfg.pallas_block != 0:
+            raise ValueError(
+                f"per-device cell count {per_device} not divisible by "
+                f"pallas_block {cfg.pallas_block}; adjust Config."
+                "cell_block/pallas_block or disable use_pallas")
         self.routing = None
         if cfg.lateral_routing and land_grid is not None:
             from .grids.routing import (bankfull_width_m,
@@ -159,7 +168,9 @@ class Simulation:
                 lateral=self.lateral, snow=self.snow,
                 focus_idx=self.focus_idx, freeze=cfg.frozen_soil,
                 vegetation=cfg.vegetation,
-                soil_ice=cfg.frozen_soil and cfg.soil_ice)
+                soil_ice=cfg.frozen_soil and cfg.soil_ice,
+                mesh=self.mesh if self.use_pallas else None,
+                pallas_interpret=cfg.pallas_interpret)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 self.focus_writer.append(year, doy, focus)

@@ -31,7 +31,8 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              geom: Geometry, dt: float, nisurf: int,
              use_pallas: bool = False, pallas_block: int = 1024,
              routing=None, lateral=None, snow=None, freeze: bool = False,
-             vegetation: bool = True, soil_ice: bool = False
+             vegetation: bool = True, soil_ice: bool = False,
+             mesh=None, pallas_interpret: bool = False
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -39,10 +40,14 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     max water-balance residual), the analog of the reference's daily
     accumulation (HYBRID9.f90:193-253).  With ``use_pallas`` the substep
     loop runs as a single VMEM-resident Pallas kernel (pallas_day.py)
-    instead of a ``lax.scan`` of XLA-fused substeps.  With ``snow``
-    (a SnowParams), the daily snowpack (physics/snow.py) reshapes the
-    precipitation input: snowfall accumulates as SWE and melt is
-    released as effective rainfall.
+    instead of a ``lax.scan`` of XLA-fused substeps; when a ``mesh`` is
+    also given, the kernel is ``shard_map``'d over the cell axis so the
+    multi-chip production path keeps the Pallas speed (each device runs
+    the kernel on its local shard — zero communication, the same per-rank
+    = serial compute property as the reference, INIT.f90:271-284).  With
+    ``snow`` (a SnowParams), the daily snowpack (physics/snow.py)
+    reshapes the precipitation input: snowfall accumulates as SWE and
+    melt is released as effective rainfall.
     """
     swe = state.swe
     snow_capped = None
@@ -65,10 +70,17 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
             imp = freeze_impedance(state.t_soil)
 
     if use_pallas:
-        from .physics.pallas_day import pallas_hydrology_day
-        soil, pd = pallas_hydrology_day(state.soil, state.veg, params,
-                                        forcing, geom, dt, nisurf,
-                                        block=pallas_block, imp=imp)
+        if mesh is not None:
+            from .physics.pallas_day import pallas_hydrology_day_sharded
+            soil, pd = pallas_hydrology_day_sharded(
+                state.soil, state.veg, params, forcing, geom, dt, nisurf,
+                mesh=mesh, axis=mesh.axis_names[0], block=pallas_block,
+                interpret=pallas_interpret, imp=imp)
+        else:
+            from .physics.pallas_day import pallas_hydrology_day
+            soil, pd = pallas_hydrology_day(
+                state.soil, state.veg, params, forcing, geom, dt, nisurf,
+                block=pallas_block, interpret=pallas_interpret, imp=imp)
         veg, npp = _grow(state.veg, soil, forcing, geom, vegetation)
         diags = dict(evap_day=pd["evap_day"],
                      evap_grnd_day=pd["evap_grnd_day"],
@@ -266,13 +278,15 @@ def _focus_row(state: ModelState, forcing: Forcing,
 @functools.partial(jax.jit,
                    static_argnames=("nisurf", "dt", "geom", "use_pallas",
                                     "pallas_block", "focus_idx",
-                                    "freeze", "vegetation", "soil_ice"))
+                                    "freeze", "vegetation", "soil_ice",
+                                    "mesh", "pallas_interpret"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
                pallas_block: int = 1024, routing=None, lateral=None,
                snow=None, focus_idx=None, freeze: bool = False,
-               vegetation: bool = True, soil_ice: bool = False):
+               vegetation: bool = True, soil_ice: bool = False,
+               mesh=None, pallas_interpret: bool = False):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
@@ -290,7 +304,8 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
                              use_pallas=use_pallas,
                              pallas_block=pallas_block, routing=routing,
                              lateral=lateral, snow=snow, freeze=freeze,
-                             vegetation=vegetation, soil_ice=soil_ice)
+                             vegetation=vegetation, soil_ice=soil_ice,
+                             mesh=mesh, pallas_interpret=pallas_interpret)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)

@@ -99,3 +99,27 @@ def test_routing_is_the_only_comm_source(layer_grid):
     # documents that it compiles and runs under sharding either way.
     st, dis = jax.jit(fn)(state, forcing)
     assert np.all(np.isfinite(np.asarray(dis)))
+
+
+def test_sharded_pallas_day_has_no_collectives(layer_grid):
+    """The shard_map'd Pallas production path (day_step with mesh +
+    use_pallas) must also compile communication-free."""
+    import __graft_entry__ as ge
+
+    n = 8 * 64
+    _, state, forcing, params, geom, cfg = ge._build(n)
+    cs = CellSharding.create()
+    state = cs.put(state)
+    forcing = cs.put(forcing)
+    params = cs.put(params)
+
+    def fn(state, forcing):
+        st, diags = day_step(state, forcing, params, geom, cfg.dt, 4,
+                             use_pallas=True, pallas_block=64,
+                             mesh=cs.mesh, pallas_interpret=True)
+        return st, diags["max_abs_residual"]
+
+    text = _compiled_text(fn, state, forcing)
+    hits = sorted(set(_COLLECTIVE_RE.findall(text)))
+    assert not hits, (
+        f"sharded Pallas day step contains collectives {hits}")

@@ -92,3 +92,70 @@ def test_graft_entry_compiles():
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     assert compiled is not None
+
+
+def test_day_step_pallas_under_mesh(layer_grid):
+    """The production dispatch path: day_step with a mesh + use_pallas
+    routes through the shard_map'd Pallas kernel and matches the XLA
+    scan path (VERDICT round-1 item 1: the Pallas speed must survive
+    the sharded flagship configuration)."""
+    n = 8 * 256
+    params, state, geom, forcing = _setup(n, layer_grid=layer_grid)
+    cs = CellSharding.create()
+    state_sh = cs.put(state)
+    params_sh = cs.put(params)
+    forcing_sh = cs.put(forcing)
+
+    step = jax.jit(lambda s, f: day_step(
+        s, f, params_sh, geom, 1800.0, 48, use_pallas=True,
+        pallas_block=256, mesh=cs.mesh, pallas_interpret=True))
+    out_sh, diags_sh = step(state_sh, forcing_sh)
+    # Output keeps the cell sharding.
+    shard_shapes = {d.data.shape[0]
+                    for d in out_sh.soil.h2osoi_liq.addressable_shards}
+    assert shard_shapes == {n // cs.n_devices}
+
+    step1 = jax.jit(lambda s, f: day_step(s, f, params, geom, 1800.0, 48))
+    out1, _ = step1(state, forcing)
+    np.testing.assert_allclose(np.asarray(out_sh.soil.h2osoi_liq),
+                               np.asarray(out1.soil.h2osoi_liq),
+                               rtol=5e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_sh.soil.zwt),
+                               np.asarray(out1.soil.zwt),
+                               rtol=5e-4, atol=1e-4)
+    assert float(jnp.max(diags_sh["max_abs_residual"])) < 0.1
+
+
+def test_simulation_block_step_pallas_sharded(layer_grid):
+    """Simulation with sharding + use_pallas runs a forcing block through
+    the shard_map'd kernel end-to-end (the --shard production path)."""
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.forcing import SyntheticForcingProvider
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.run import Simulation
+
+    cfg = Config(resolution_deg=8.0, start_year=1901, end_year=1901,
+                 forcing_block_days=10, cell_block=512, nisurf=8,
+                 use_pallas=True, pallas_block=64, pallas_interpret=True,
+                 write_annual=False)
+    grid, params = load_soil(cfg)
+    cs = CellSharding.create()
+    cs.check_divisible(grid.n_padded)
+    sim = Simulation(cfg, params, sharding=cs, land_grid=grid)
+    assert sim.use_pallas and sim.mesh is not None
+    provider = SyntheticForcingProvider(grid.n_padded, seed=3,
+                                        lat=grid.cell_lat)
+    means = sim.run_year(1901, provider, block_days=10)
+    assert float(np.max(means["max_abs_residual"][:grid.n_land])) < 0.1
+
+    # Same run, unsharded XLA path: annual means must agree.
+    cfg2 = Config(**{**cfg.__dict__, "use_pallas": False,
+                     "pallas_interpret": False})
+    sim2 = Simulation(cfg2, params, land_grid=grid)
+    means2 = sim2.run_year(1901, provider, block_days=10)
+    nl = grid.n_land
+    np.testing.assert_allclose(means["theta_total"][:nl],
+                               means2["theta_total"][:nl],
+                               rtol=5e-4, atol=5e-3)
+    np.testing.assert_allclose(means["evap"][:nl], means2["evap"][:nl],
+                               rtol=5e-3, atol=1e-6)
