@@ -118,6 +118,20 @@ def cmd_site(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prep_soil(args: argparse.Namespace) -> int:
+    """One-time soil preprocessing: raw HWSD/BNU archives -> the
+    per-layer parameter file `run` consumes (soil_source='netcdf').
+    The offline analog of the reference's INIT-time soil regrid
+    (INIT.f90:473-680), which it recomputed at every model start."""
+    from .data.soil_raw import prepare_soil
+
+    prepare_soil(args.hwsd, args.bnu_dir, args.out,
+                 n_layers=args.layers, fmax_path=args.fmax,
+                 pattern=args.pattern,
+                 band_coarse_rows=args.band_rows)
+    return 0
+
+
 def cmd_info(args: argparse.Namespace) -> int:
     import jax
 
@@ -155,6 +169,21 @@ def main(argv=None) -> int:
     ps.add_argument("--spinup", type=int, default=0)
     ps.add_argument("--nisurf", type=int, default=48)
     ps.set_defaults(fn=cmd_site)
+
+    pp = sub.add_parser("prep-soil",
+                        help="preprocess raw HWSD/BNU soil archives")
+    pp.add_argument("--hwsd", required=True,
+                    help="HWSD texture NetCDF (soil_tex at model res)")
+    pp.add_argument("--bnu-dir", required=True,
+                    help="directory of BNU per-layer archive files")
+    pp.add_argument("--out", required=True,
+                    help="output preprocessed soil file")
+    pp.add_argument("--fmax", default=None, help="Fmax NetCDF (optional)")
+    pp.add_argument("--layers", type=int, default=8)
+    pp.add_argument("--pattern", default="{var}_l{layer}.nc4")
+    pp.add_argument("--band-rows", type=int, default=32,
+                    help="coarse rows regridded per read (memory bound)")
+    pp.set_defaults(fn=cmd_prep_soil)
 
     pi = sub.add_parser("info", help="version and device info")
     pi.set_defaults(fn=cmd_info)

@@ -11,6 +11,7 @@ runnable end-to-end.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -77,13 +78,27 @@ def load_soil(cfg, dtype=jnp.float32,
     """Build (LandGrid, SoilParams) from config.
 
     ``soil_source == "netcdf"`` expects preprocessed per-layer fields (the
-    one-time offline analog of INIT's 30-arc-sec regrid); otherwise the
-    deterministic synthetic generator is used.
+    one-time offline analog of INIT's 30-arc-sec regrid);
+    ``soil_source == "raw"`` runs that regrid first (data/soil_raw.py:
+    HWSD texture + band-chunked BNU box-average, INIT.f90:473-680) and
+    then consumes its product; otherwise the deterministic synthetic
+    generator is used.
     """
-    if cfg.soil_source == "netcdf" and cfg.soil_path:
+    soil_path = cfg.soil_path
+    if cfg.soil_source == "raw":
+        if not (cfg.soil_hwsd_path and cfg.soil_bnu_dir):
+            raise ValueError("soil_source='raw' needs soil_hwsd_path "
+                             "and soil_bnu_dir")
+        from .soil_raw import prepare_soil
+        soil_path = soil_path or os.path.join(cfg.output_path,
+                                              "soil_prep.nc")
+        prepare_soil(cfg.soil_hwsd_path, cfg.soil_bnu_dir, soil_path,
+                     n_layers=cfg.layer_grid().nsoil,
+                     fmax_path=cfg.soil_fmax_path)
+    if cfg.soil_source in ("netcdf", "raw") and soil_path:
         from ..io import netcdf as nc
         fields = nc.read_grid_file(
-            cfg.soil_path,
+            soil_path,
             ["theta_s", "hksat", "lambda", "psi_s", "fmax", "soil_tex"])
         soil_tex = fields["soil_tex"]
         theta_s = fields["theta_s"]
