@@ -152,6 +152,10 @@ class Config:
                                       # "muskingum" (Muskingum-Cunge,
                                       # per-reach geometry).
     routing_k: float = 0.2            # Linear-reservoir release per day.
+    routing_network_path: Optional[str] = None  # NetCDF with 'flowdir'
+                                      # (ESRI D8) and/or 'elevation' (m)
+                                      # at model resolution; None =
+                                      # synthetic DEM.
     routing_substeps: int = 8         # Sub-daily transfer steps per day.
     routing_celerity: float = 0.8     # Kinematic ref celerity c0 (m/s).
     routing_manning: float = 0.035    # Muskingum-Cunge channel Manning n.

@@ -235,6 +235,104 @@ def build_downstream_index(grid: LandGrid,
     return downstream.astype(np.int32)
 
 
+# ESRI/ArcGIS D8 power-of-two flow-direction codes -> (dy, dx) on a
+# north-up grid (1=E, 2=SE, 4=S, 8=SW, 16=W, 32=NW, 64=N, 128=NE).
+# The convention of the common global flow-direction products
+# (HydroSHEDS/DRT); 0 or missing = sink/outlet.
+_ESRI_D8 = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
+            16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+
+
+def downstream_from_flowdir(grid: LandGrid,
+                            flowdir: np.ndarray) -> np.ndarray:
+    """Packed downstream index from an ESRI-coded D8 direction field.
+
+    ``flowdir`` is ``[ny, nx]`` with power-of-two codes; cells whose
+    code is 0/missing/unrecognised, or whose receiving neighbour is
+    ocean or off-grid, drain to the virtual outlet (index
+    ``n_padded``).  Longitude wraps; latitude clamps at the poles.
+    Self-loops are redirected to the outlet.
+    """
+    ny, nx = grid.ny, grid.nx
+    if flowdir.shape != (ny, nx):
+        raise ValueError(f"flowdir shape {flowdir.shape} != grid "
+                         f"{(ny, nx)}")
+    land = np.zeros(ny * nx, bool)
+    land[grid.land_idx] = True
+    land = land.reshape(ny, nx)
+    packed_of = np.full(ny * nx, -1, np.int64)
+    packed_of[grid.land_idx] = np.arange(grid.n_land)
+
+    ys = grid.land_idx // nx
+    xs = grid.land_idx % nx
+    codes = np.where(np.isfinite(flowdir), flowdir, 0).astype(np.int64)
+    code = codes[ys, xs]
+    down = np.full(grid.n_land, grid.n_padded, np.int64)
+    for c_val, (dy, dx) in _ESRI_D8.items():
+        sel = code == c_val
+        if not np.any(sel):
+            continue
+        yn = ys[sel] + dy
+        xn = (xs[sel] + dx) % nx
+        valid = (yn >= 0) & (yn < ny)
+        ync = np.clip(yn, 0, ny - 1)
+        is_land = valid & land[ync, xn]
+        cand = np.where(is_land, packed_of[ync * nx + xn],
+                        grid.n_padded)
+        down[sel] = cand
+    self_loop = down == np.arange(grid.n_land)
+    down[self_loop] = grid.n_padded
+
+    downstream = np.full(grid.n_padded, grid.n_padded, np.int64)
+    downstream[:grid.n_land] = down
+    return downstream.astype(np.int32)
+
+
+def load_network(grid: LandGrid, path: str | None, seed: int = 0
+                 ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Build ``(downstream, elevation)`` from a network file, or
+    synthetics when ``path`` is None.
+
+    The file (NetCDF-3 or -4, model resolution) may hold ``flowdir``
+    (ESRI D8 codes — used directly) and/or ``elevation`` (m — steepest
+    descent applied); with both, ``flowdir`` defines the topology and
+    ``elevation`` the reach slopes.  This is the real-data ingest path
+    for the routing schemes (the DEM/flow-direction analog of the soil
+    archive ingest, INIT.f90:473-631 — the reference itself has no
+    routing, SURVEY.md C14).
+    """
+    from ..io import netcdf
+
+    if path is None:
+        land = np.zeros(grid.ny * grid.nx, bool)
+        land[grid.land_idx] = True
+        elevation = synthetic_elevation(land.reshape(grid.ny, grid.nx),
+                                        seed)
+        return build_downstream_index(grid, elevation=elevation), \
+            elevation
+
+    have = {}
+    for var in ("flowdir", "elevation"):
+        try:
+            have[var] = np.asarray(netcdf.read_variable(path, var),
+                                   np.float64)
+        except KeyError:
+            continue
+    if not have:
+        raise ValueError(f"{path}: need a 'flowdir' or 'elevation' "
+                         "variable")
+    elevation = None
+    if "elevation" in have:
+        elevation = have["elevation"]
+        elevation = np.where(np.isfinite(elevation)
+                             & (elevation < 9.9e19), elevation, 0.0)
+    if "flowdir" in have:
+        downstream = downstream_from_flowdir(grid, have["flowdir"])
+    else:
+        downstream = build_downstream_index(grid, elevation=elevation)
+    return downstream, elevation
+
+
 def direction_codes(grid: LandGrid, downstream: np.ndarray) -> np.ndarray:
     """D8 direction code per grid cell for the dense halo formulation.
 

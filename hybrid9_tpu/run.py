@@ -69,13 +69,13 @@ class Simulation:
                 "cell_block/pallas_block or disable use_pallas")
         self.routing = None
         if cfg.lateral_routing and land_grid is not None:
-            from .grids.routing import (bankfull_width_m,
-                                        build_downstream_index,
-                                        cell_area_m2, flow_accumulation,
-                                        flow_length_m, reach_slope)
+            from .grids.routing import (bankfull_width_m, cell_area_m2,
+                                        flow_accumulation, flow_length_m,
+                                        load_network, reach_slope)
             from .physics.routing import (KinematicParams,
                                           MuskingumParams, RoutingParams)
-            down_np = build_downstream_index(land_grid)
+            down_np, elev = load_network(land_grid,
+                                         cfg.routing_network_path)
 
             def _put(arr, dtype=None):
                 arr = jnp.asarray(arr, dtype)
@@ -88,7 +88,8 @@ class Simulation:
                 self.routing = MuskingumParams(
                     downstream=downstream,
                     flow_length=_put(flow_length_m(land_grid, down_np)),
-                    slope=_put(reach_slope(land_grid, down_np)),
+                    slope=_put(reach_slope(land_grid, down_np,
+                                           elevation=elev)),
                     width=_put(bankfull_width_m(
                         flow_accumulation(land_grid, down_np))),
                     cell_area=_put(cell_area_m2(land_grid)),

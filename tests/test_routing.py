@@ -435,3 +435,116 @@ def test_muskingum_zero_slope_no_nan():
     assert np.all(np.isfinite(np.asarray(s)))
     np.testing.assert_allclose(float(jnp.sum(s)) + float(jnp.sum(dis)),
                                4 * 5.0 + 4 * 1.0, rtol=1e-5)
+
+
+def test_downstream_from_flowdir_esri_codes():
+    """Hand-built ESRI D8 field: codes map to the right neighbours,
+    ocean/off-grid/zero-coded receivers drain to the outlet."""
+    from hybrid9_tpu.grids.routing import downstream_from_flowdir
+
+    ny, nx = 4, 6
+    mask = np.zeros((ny, nx), bool)
+    mask[1, 1:4] = True      # a west-east chain
+    mask[2, 2] = True        # one cell below the chain middle
+    grid = make_land_grid(mask, 30.0, pad_multiple=8)
+    packed = {tuple(divmod(int(f), nx)): i
+              for i, f in enumerate(grid.land_idx)}
+
+    fd = np.zeros((ny, nx))
+    fd[1, 1] = 1             # E  -> (1, 2)
+    fd[1, 2] = 1             # E  -> (1, 3)
+    fd[1, 3] = 8             # SW -> (2, 2)
+    fd[2, 2] = 4             # S  -> (3, 2) = ocean -> outlet
+    down = downstream_from_flowdir(grid, fd)
+    assert down[packed[(1, 1)]] == packed[(1, 2)]
+    assert down[packed[(1, 2)]] == packed[(1, 3)]
+    assert down[packed[(1, 3)]] == packed[(2, 2)]
+    assert down[packed[(2, 2)]] == grid.n_padded
+
+    # Longitude wrap: a cell at x=0 flowing W receives x=nx-1.
+    mask2 = np.zeros((ny, nx), bool)
+    mask2[1, 0] = True
+    mask2[1, nx - 1] = True
+    grid2 = make_land_grid(mask2, 30.0, pad_multiple=8)
+    fd2 = np.zeros((ny, nx))
+    fd2[1, 0] = 16           # W -> wraps to (1, nx-1)
+    down2 = downstream_from_flowdir(grid2, fd2)
+    p2 = {tuple(divmod(int(f), nx)): i
+          for i, f in enumerate(grid2.land_idx)}
+    assert down2[p2[(1, 0)]] == p2[(1, nx - 1)]
+
+
+def test_load_network_from_file(tmp_path):
+    """A 'real-format' network NetCDF (elevation and/or flowdir) drives
+    the D8 build; elevation-only matches build_downstream_index."""
+    from hybrid9_tpu.grids.grid import cell_centres
+    from hybrid9_tpu.grids.routing import (load_network,
+                                           synthetic_elevation)
+    from hybrid9_tpu.io.netcdf import write_grid_file
+
+    grid = _grid()
+    land = np.zeros(grid.ny * grid.nx, bool)
+    land[grid.land_idx] = True
+    elev = synthetic_elevation(land.reshape(grid.ny, grid.nx), seed=9)
+    lon, lat = cell_centres(4.0)
+
+    path = str(tmp_path / "network.nc")
+    write_grid_file(path, {"elevation": elev}, lon, lat,
+                    units={"elevation": "m"})
+    down, elev_back = load_network(grid, path)
+    expect = build_downstream_index(grid, elevation=elev)
+    np.testing.assert_array_equal(down, expect)
+    np.testing.assert_allclose(elev_back, elev, rtol=1e-6)
+
+    # flowdir takes precedence over elevation for topology.
+    from hybrid9_tpu.grids.routing import (direction_codes as dc,
+                                           downstream_from_flowdir)
+    codes = dc(grid, expect)
+    # Convert our 0..7 codes to ESRI power-of-two codes.
+    esri_of = {(-1, -1): 32, (-1, 0): 64, (-1, 1): 128, (0, -1): 16,
+               (0, 1): 1, (1, -1): 8, (1, 0): 4, (1, 1): 2}
+    d8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+          (1, 1)]
+    fd = np.zeros_like(codes, dtype=np.float64)
+    for k, off in enumerate(d8):
+        fd[codes == k] = esri_of[off]
+    path2 = str(tmp_path / "network_fd.nc")
+    write_grid_file(path2, {"flowdir": fd, "elevation": elev}, lon, lat)
+    down2, _ = load_network(grid, path2)
+    np.testing.assert_array_equal(down2, downstream_from_flowdir(grid, fd))
+    # Same topology as the elevation build (codes came from it).
+    np.testing.assert_array_equal(down2, expect)
+
+
+def test_simulation_with_network_file(tmp_path):
+    """Config.routing_network_path drives the Muskingum build and the
+    year conserves mass (VERDICT round-1 item 7)."""
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.forcing import SyntheticForcingProvider
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.grids.grid import cell_centres
+    from hybrid9_tpu.grids.routing import synthetic_elevation
+    from hybrid9_tpu.io.netcdf import write_grid_file
+    from hybrid9_tpu.run import Simulation
+
+    cfg = Config(resolution_deg=12.0, start_year=1901, end_year=1901,
+                 forcing_block_days=30, cell_block=32, nisurf=8,
+                 output_path=str(tmp_path), use_pallas=False,
+                 write_annual=False,
+                 routing_scheme="muskingum", routing_substeps=4)
+    grid, params = load_soil(cfg)
+    land = np.zeros(grid.ny * grid.nx, bool)
+    land[grid.land_idx] = True
+    elev = synthetic_elevation(land.reshape(grid.ny, grid.nx), seed=21)
+    lon, lat = cell_centres(12.0)
+    path = str(tmp_path / "net.nc")
+    write_grid_file(path, {"elevation": elev}, lon, lat)
+
+    cfg = Config(**{**cfg.__dict__, "routing_network_path": path})
+    sim = Simulation(cfg, params, land_grid=grid)
+    provider = SyntheticForcingProvider(grid.n_padded, seed=11,
+                                        lat=grid.cell_lat)
+    results = sim.run(provider)
+    assert float(np.max(results[0]["max_abs_residual"][:grid.n_land])) \
+        < 0.1
+    assert float(np.sum(results[0]["discharge"])) > 0.0
