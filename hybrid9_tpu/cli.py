@@ -34,6 +34,10 @@ def cmd_run(args: argparse.Namespace) -> int:
     from .parallel.sharding import CellSharding
     from .run import Simulation
 
+    if args.platform:
+        # Must land before any backend use; the environment's TPU plugin
+        # overrides JAX_PLATFORMS, but the config knob wins.
+        jax.config.update("jax_platforms", args.platform)
     initialize_distributed()
     if args.config:
         cfg = Config.from_json(open(args.config).read())
@@ -78,22 +82,48 @@ def cmd_run(args: argparse.Namespace) -> int:
         start_year = year + 1
         cfg = Config(**{**cfg.__dict__, "start_year": start_year})
         log.info("resumed from checkpoint year %d", year)
+    # Multi-host: each process reads/writes only its slab of the packed
+    # cell axis (READ_NET_CDF_3DR.f90:95-97 / WRITE_NET_CDF_3DR.f90:
+    # 211-257 ownership pattern); requires --shard.
+    multihost = jax.process_count() > 1
+    if multihost and sharding is None:
+        raise SystemExit("multi-host runs require --shard")
+    host_slice = None
+    if multihost:
+        from .parallel.launch import host_shard_bounds
+        lo, hi = host_shard_bounds(grid.n_padded)
+        host_slice = slice(lo, hi)
     if cfg.forcing == "pgf" and cfg.forcing_path:
         from .data.forcing import NetCDFForcingProvider
-        provider = PrefetchingProvider(NetCDFForcingProvider(
-            cfg.forcing_path, grid))
+        local = NetCDFForcingProvider(cfg.forcing_path, grid,
+                                      cell_slice=host_slice)
+        if multihost:
+            from .data.forcing import HostShardedProvider
+            local = HostShardedProvider(local, sharding, grid.n_padded)
+        provider = PrefetchingProvider(local)
     elif cfg.forcing == "device-synthetic":
         from .data.device_forcing import DeviceSyntheticForcingProvider
         provider = DeviceSyntheticForcingProvider(
             grid.n_padded, seed=0, lat=grid.cell_lat, sharding=sharding)
     else:
-        provider = PrefetchingProvider(SyntheticForcingProvider(
-            grid.n_padded, seed=0, lat=grid.cell_lat))
+        local = SyntheticForcingProvider(
+            grid.n_padded, seed=0, lat=grid.cell_lat,
+            cell_slice=host_slice)
+        if multihost:
+            from .data.forcing import HostShardedProvider
+            local = HostShardedProvider(local, sharding, grid.n_padded)
+        provider = PrefetchingProvider(local)
 
     sim = Simulation(cfg, params, state=state, sharding=sharding,
                      land_grid=grid)
-    writer = AnnualWriter(cfg.output_path, grid) if cfg.write_annual \
-        else None
+    writer = None
+    if cfg.write_annual:
+        if multihost:
+            from .io.writer import ShardedAnnualWriter
+            writer = ShardedAnnualWriter(cfg.output_path, grid,
+                                         host_slice.start, host_slice.stop)
+        else:
+            writer = AnnualWriter(cfg.output_path, grid)
     checkpointer = None
     if cfg.checkpoint_every_years:
         from .io.checkpoint import Checkpointer
@@ -104,17 +134,22 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 def cmd_site(args: argparse.Namespace) -> int:
     from .config import Config
-    from .site import read_site_climate_csv, run_site
+    from .site import (read_site_climate_csv, read_site_subdaily_csv,
+                       run_site)
 
     cfg = Config(spinup_years=args.spinup, nisurf=args.nisurf)
     climate = None
     if args.climate:
         climate = read_site_climate_csv(args.climate)
-    result = run_site(cfg, climate=climate, csv_out=args.csv_out)
+    subdaily = None
+    if args.subdaily:
+        subdaily = read_site_subdaily_csv(args.subdaily, cfg.nisurf)
+    result = run_site(cfg, climate=climate, subdaily=subdaily,
+                      csv_out=args.csv_out, engine=args.engine)
     worst = max(r["max_residual"] for r in result.daily)
-    log.info("site run done: %d days, final LAI %.3f, "
-             "max|residual| %.3g mm", len(result.daily),
-             result.state.lai, worst)
+    log.info("site run done (engine=%s): %d days, final LAI %.3f, "
+             "max|residual| %.3g mm", args.engine, len(result.daily),
+             result.daily[-1]["lai"], worst)
     return 0
 
 
@@ -156,6 +191,9 @@ def main(argv=None) -> int:
                     help="shard cells over all local devices")
     pr.add_argument("--cache-dir", default=".jax_cache",
                     help="persistent XLA compilation cache")
+    pr.add_argument("--platform", default=None,
+                    help="force a JAX backend (e.g. 'cpu'); overrides "
+                         "the environment's plugin selection")
     pr.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint")
     pr.add_argument("--focus", default=None, metavar="SITE|LON,LAT",
@@ -165,9 +203,16 @@ def main(argv=None) -> int:
 
     ps = sub.add_parser("site", help="single-column site simulation")
     ps.add_argument("--climate", help="daily climate CSV")
+    ps.add_argument("--subdaily",
+                    help="sub-daily observation CSV (doy, step, tak, rh, "
+                         "rnet, par, ppt, evap_obs)")
     ps.add_argument("--csv-out", default="site_daily.csv")
     ps.add_argument("--spinup", type=int, default=0)
     ps.add_argument("--nisurf", type=int, default=48)
+    ps.add_argument("--engine", choices=("oracle", "kernel"),
+                    default="oracle",
+                    help="float64 NumPy oracle or the production jitted "
+                         "kernels (the TPU code path)")
     ps.set_defaults(fn=cmd_site)
 
     pp = sub.add_parser("prep-soil",

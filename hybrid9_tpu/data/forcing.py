@@ -42,20 +42,28 @@ def pgf_decade_path(base_dir: str, var: str, year: int) -> str:
 
 
 class SyntheticForcingProvider:
-    """Deterministic synthetic forcing keyed by (year, day-of-year)."""
+    """Deterministic synthetic forcing keyed by (year, day-of-year).
+
+    ``cell_slice`` narrows the returned block to this host's cells
+    (multi-host: the block is generated deterministically for the global
+    axis, then sliced, so every host agrees on cell values).
+    """
 
     def __init__(self, n: int, seed: int = 0,
-                 lat: Optional[np.ndarray] = None, dtype=jnp.float32):
+                 lat: Optional[np.ndarray] = None, dtype=jnp.float32,
+                 cell_slice: Optional[slice] = None):
         self.n = n
         self.seed = seed
         self.lat = lat
         self.dtype = dtype
+        self.cell_slice = cell_slice or slice(None)
 
     def __call__(self, year: int, start_doy: int, n_days: int) -> Forcing:
         block = synthetic_forcing_block(
             n_days, self.n, seed=self.seed + year, start_doy=start_doy,
             lat=self.lat)
-        return Forcing(**{k: jnp.asarray(v, self.dtype)
+        return Forcing(**{k: jnp.asarray(v[:, self.cell_slice],
+                                         self.dtype)
                           for k, v in block.items()})
 
 
@@ -102,6 +110,37 @@ class NetCDFForcingProvider:
             arrays[var] = jnp.asarray(packed[:, self.cell_slice],
                                       self.dtype)
         return Forcing(**arrays)
+
+
+class HostShardedProvider:
+    """Per-host sharded ingest: assembles global forcing blocks from
+    process-local reads.
+
+    Wraps a provider configured to read only this host's ``cell_slice``
+    of the packed axis and assembles the global ``[days, n]`` arrays with
+    ``jax.make_array_from_process_local_data`` — the multi-host analog of
+    each MPI rank hyperslab-reading its own tile
+    (READ_NET_CDF_3DR.f90:95-97).  No host ever materialises the global
+    forcing block.
+    """
+
+    def __init__(self, local_provider: Callable[[int, int, int], Forcing],
+                 sharding, n_global: int):
+        self.provider = local_provider
+        self.sharding = sharding
+        self.n_global = n_global
+
+    def __call__(self, year: int, start_doy: int, n_days: int) -> Forcing:
+        import jax
+        local = self.provider(year, start_doy, n_days)
+
+        def assemble(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                self.sharding.block_spec(x), x,
+                (x.shape[0], self.n_global, *x.shape[2:]))
+
+        return jax.tree_util.tree_map(assemble, local)
 
 
 class PrefetchingProvider:

@@ -12,7 +12,7 @@ WRITE_NET_CDF_3DR.f90:186-197), then written single-writer NetCDF-3.
 from __future__ import annotations
 
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -99,6 +99,113 @@ class AnnualWriter:
         netcdf.write_grid_file(path, fields, self.grid.lon, self.grid.lat,
                                units=ANNUAL_UNITS, layer_dim=layer_dim)
         log.info("wrote %s (%d fields)", path, len(fields))
+        return path
+
+
+class ShardedAnnualWriter:
+    """Per-host shard output for multi-host runs.
+
+    The TPU-native analog of the reference's collective parallel
+    NetCDF-4/MPI-IO annual write, where every rank participates in the
+    file definition and then puts only its own tile
+    (WRITE_NET_CDF_3DR.f90:93-94, 211-257): each process writes its slab
+    of the packed cell axis to ``axy<year>.part<i>.nc``, and the primary
+    process stitches the parts into the reference-layout global
+    ``axy<year>.nc`` once all slabs are on disk (the shared filesystem
+    plays the role of MPI-IO).
+    """
+
+    def __init__(self, output_path: str, land_grid: LandGrid,
+                 cell_start: int, cell_stop: int,
+                 process_index: Optional[int] = None,
+                 n_processes: Optional[int] = None,
+                 stitch: bool = True, stitch_timeout: float = 600.0):
+        import jax
+        self.output_path = output_path
+        self.grid = land_grid
+        self.lo = int(cell_start)
+        self.hi = int(cell_stop)
+        self.pid = (jax.process_index() if process_index is None
+                    else process_index)
+        self.np_ = (jax.process_count() if n_processes is None
+                    else n_processes)
+        self.stitch = stitch
+        self.stitch_timeout = stitch_timeout
+        os.makedirs(output_path, exist_ok=True)
+
+    def _part_path(self, year: int, pid: int) -> str:
+        return os.path.join(self.output_path, f"axy{year}.part{pid}.nc")
+
+    def write_annual(self, year: int,
+                     means: Dict[str, np.ndarray]) -> str:
+        """Write this host's [local_n] / [local_n, nl] slab, then stitch.
+
+        ``means`` holds process-local slabs (Simulation hands each host
+        only its own cells under multi-host execution).
+        """
+        from scipy.io import netcdf_file
+        path = self._part_path(year, self.pid)
+        tmp = path + ".tmp"
+        with netcdf_file(tmp, "w") as f:
+            f.cell_start = self.lo
+            f.cell_stop = self.hi
+            f.n_parts = self.np_
+            local_n = self.hi - self.lo
+            f.createDimension("cell", local_n)
+            layer_done = False
+            for name, arr in means.items():
+                arr = np.asarray(arr, np.float64)
+                if arr.shape[0] != local_n:
+                    raise ValueError(
+                        f"{name}: expected local slab of {local_n} cells, "
+                        f"got {arr.shape}")
+                if arr.ndim == 2 and not layer_done:
+                    f.createDimension("layer", arr.shape[1])
+                    layer_done = True
+                dims = ("cell",) if arr.ndim == 1 else ("cell", "layer")
+                v = f.createVariable(name, "d", dims)
+                v[:] = arr
+        os.replace(tmp, path)
+        log.info("wrote shard part %s (cells [%d, %d))", path, self.lo,
+                 self.hi)
+        if self.stitch and self.pid == 0:
+            return self.stitch_year(year)
+        return path
+
+    def stitch_year(self, year: int) -> str:
+        """Assemble part files into the global axy<year>.nc (primary)."""
+        import time as _time
+        from scipy.io import netcdf_file
+        paths = [self._part_path(year, p) for p in range(self.np_)]
+        deadline = _time.monotonic() + self.stitch_timeout
+        while not all(os.path.exists(p) for p in paths):
+            if _time.monotonic() > deadline:
+                missing = [p for p in paths if not os.path.exists(p)]
+                raise TimeoutError(
+                    f"stitch axy{year}: missing parts {missing}")
+            _time.sleep(0.2)
+        packed: Dict[str, np.ndarray] = {}
+        for p in paths:
+            with netcdf_file(p, "r", mmap=False) as f:
+                lo, hi = int(f.cell_start), int(f.cell_stop)
+                for name, var in f.variables.items():
+                    arr = np.asarray(var[:])
+                    if name not in packed:
+                        packed[name] = np.empty(
+                            (self.grid.n_padded, *arr.shape[1:]),
+                            np.float64)
+                    packed[name][lo:hi] = arr
+        path = os.path.join(self.output_path, f"axy{year}.nc")
+        fields = {}
+        layer_dim = None
+        for name, arr in packed.items():
+            fields[name] = self.grid.scatter(arr, fill=np.nan)
+            if arr.ndim == 2:
+                layer_dim = arr.shape[1]
+        netcdf.write_grid_file(path, fields, self.grid.lon, self.grid.lat,
+                               units=ANNUAL_UNITS, layer_dim=layer_dim)
+        log.info("stitched %s from %d parts (%d fields)", path, self.np_,
+                 len(fields))
         return path
 
 

@@ -34,6 +34,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     if num_processes <= 1:
         log.info("single-process run: skipping jax.distributed")
         return
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -52,9 +52,50 @@ class CellSharding:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
+    def block_spec(self, leaf) -> NamedSharding:
+        """Sharding for a [days, n, ...] forcing block (cells = axis 1)."""
+        ndim = np.ndim(leaf)
+        return NamedSharding(self.mesh,
+                             P(None, self.axis, *([None] * (ndim - 2))))
+
     def put(self, pytree):
-        """Device-put a host pytree with cell-axis sharding."""
-        return jax.device_put(pytree, self.state_sharding(pytree))
+        """Device-put a host pytree with cell-axis sharding.
+
+        Single-process: a plain ``device_put``.  Multi-host: each process
+        contributes only its own slab of the cell axis and the global
+        array is assembled with ``jax.make_array_from_process_local_data``
+        — no host holds (or transfers) the full array, the same ownership
+        pattern as the reference's per-rank tiles (INIT.f90:271-284).
+        """
+        if jax.process_count() == 1:
+            return jax.device_put(pytree, self.state_sharding(pytree))
+        from .launch import host_shard_bounds
+
+        def one(x):
+            x = np.asarray(x)
+            spec = self.spec_for(x)
+            if x.ndim == 0:
+                return jax.make_array_from_process_local_data(
+                    spec, x, x.shape)
+            lo, hi = host_shard_bounds(x.shape[0])
+            return jax.make_array_from_process_local_data(
+                spec, x[lo:hi], x.shape)
+
+        return jax.tree_util.tree_map(one, pytree)
+
+    def host_local(self, arr) -> np.ndarray:
+        """This process's contiguous slab of a cell-sharded global array.
+
+        Inverse of :meth:`put` for output: shards addressable by this
+        process, concatenated in cell order.  Single-process, the whole
+        array.
+        """
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards],
+                              axis=0)
 
     def check_divisible(self, n: int) -> None:
         if n % self.n_devices != 0:

@@ -46,10 +46,17 @@ class Simulation:
             state = initial_state(params, self.grid.dz, self.grid.zi,
                                   self.dtype)
         if sharding is not None:
-            state = jax.device_put(state, sharding.state_sharding(state))
-            self.params = jax.device_put(
-                params, sharding.state_sharding(params))
+            # put() assembles from per-host slabs under multi-host
+            # execution (no host holds the global state).
+            state = sharding.put(state)
+            self.params = sharding.put(params)
         self.state = state
+        # This host's slab of the cell axis (multi-host runs own
+        # [host_lo, host_hi); single-host owns everything).
+        self.host_lo, self.host_hi = 0, self.n
+        if jax.process_count() > 1:
+            from .parallel.launch import host_shard_bounds
+            self.host_lo, self.host_hi = host_shard_bounds(self.n)
         self.mesh = sharding.mesh if sharding is not None else None
         per_device = (self.n // sharding.n_devices
                       if sharding is not None else self.n)
@@ -122,7 +129,10 @@ class Simulation:
             self.focus_idx = land_grid.cell_index_of(cfg.site_lon,
                                                      cfg.site_lat)
             from .io.writer import FocusCSVWriter
-            self.focus_writer = FocusCSVWriter(cfg.output_path)
+            # One CSV per run: the primary process writes (focus rows are
+            # replicated scalars under multi-host sharding).
+            if jax.process_index() == 0:
+                self.focus_writer = FocusCSVWriter(cfg.output_path)
             log.info("interactive focus cell: packed %d at (%.2f, %.2f)",
                      self.focus_idx, cfg.site_lon, cfg.site_lat)
         self.n_land = land_grid.n_land if land_grid is not None else None
@@ -142,7 +152,7 @@ class Simulation:
         acc = AnnualAccumulators.zeros(self.n, nsoil=self.grid.nsoil,
                                        dtype=self.dtype)
         if self.sharding is not None:
-            acc = jax.device_put(acc, self.sharding.state_sharding(acc))
+            acc = self.sharding.put(acc)
 
         t0 = time.perf_counter()
         doy = 1
@@ -174,25 +184,43 @@ class Simulation:
                 pallas_interpret=cfg.pallas_interpret)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
-                self.focus_writer.append(year, doy, focus)
+                if self.focus_writer is not None:
+                    self.focus_writer.append(year, doy, focus)
             else:
                 self.state, acc = out
             doy += nblk
 
         means = annual_means(acc, cfg.nisurf)
-        means = {k: np.asarray(v) for k, v in means.items()}
+        # Under multi-host execution each process extracts only its own
+        # slab — the per-rank tile of the collective write
+        # (WRITE_NET_CDF_3DR.f90:211-257); single-host gets everything.
+        if self.sharding is not None and jax.process_count() > 1:
+            means = {k: self.sharding.host_local(v)
+                     for k, v in means.items()}
+        else:
+            means = {k: np.asarray(v) for k, v in means.items()}
         elapsed = time.perf_counter() - t0
         self._health_check(year, means)
         # Same land-only slice as _health_check: padding lanes carry real
         # (cell-0) forcing and would otherwise report phantom residuals.
-        res_land = means["max_abs_residual"][:self.n_land] \
-            if self.n_land is not None else means["max_abs_residual"]
+        res_land = means["max_abs_residual"][:self._local_land_count()]
         max_res = float(np.max(res_land)) if res_land.size else 0.0
         log.info("year %d: %d days in %.2fs (%.0f cell-days/s), "
                  "max|residual|=%.3g mm", year, ndays, elapsed,
                  self.n * ndays / elapsed, max_res)
         self.annual_results.append(means)
         return means
+
+    def _local_land_count(self) -> int:
+        """Number of real (non-padding) cells in this host's means slab.
+
+        Padding lanes sit at the top of the packed axis, i.e. inside the
+        LAST host's slab under the contiguous 1-D decomposition.
+        """
+        if self.n_land is None:
+            return self.host_hi - self.host_lo
+        return int(np.clip(self.n_land - self.host_lo, 0,
+                           self.host_hi - self.host_lo))
 
     def _health_check(self, year: int, means: Dict[str, np.ndarray]
                       ) -> None:
@@ -204,8 +232,7 @@ class Simulation:
         logged error as fatal if they choose.
         """
         res = means["max_abs_residual"]
-        if self.n_land is not None:
-            res = res[:self.n_land]      # padding lanes carry no state
+        res = res[:self._local_land_count()]   # padding carries no state
         bad_nan = ~np.isfinite(res)
         if np.any(bad_nan):
             idx = np.flatnonzero(bad_nan)[:8]

@@ -7,8 +7,20 @@ synthetic generator), with a spin-up loop and daily CSV diagnostics in
 the reference's column layout (HYBRID9.f90:223-228: year, doy, evap_day,
 evap_grnd_day, theta(1..4), theta_ma(1), LAI, LAI_litter, w_i, fT).
 
-Runs on the float64 column oracle — no compile step, bitwise-stable, and
-the same code path the parity tests validate the TPU kernels against.
+Two engines (``engine=`` in :func:`run_site`):
+
+- ``"oracle"`` (default): the float64 NumPy column oracle — no compile
+  step, bitwise-stable, the same code the parity tests validate the TPU
+  kernels against.
+- ``"kernel"``: the production jitted JAX kernels (hydrology_substep +
+  grow_daily) on a single padded column — the reference's LCLIM harness
+  driving the *real* model (HYBRID9.f90:339-484), so site validation
+  exercises exactly the code that runs globally.
+
+Sub-daily observation rows may carry an ``evap_obs`` column (observed ET,
+mm per substep — the reference reads observed evaporation alongside the
+forcing, HYBRID9.f90:449); it is summed to a daily ``evap_obs`` CSV
+column for model-vs-observation comparison and never fed to the physics.
 """
 
 from __future__ import annotations
@@ -48,7 +60,8 @@ DEBUG_SITES: Dict[str, tuple] = {
 @dataclasses.dataclass
 class SiteResult:
     daily: List[Dict[str, float]]
-    state: ref.ColumnState
+    # ref.ColumnState (oracle engine) or state.ModelState (kernel engine)
+    state: object
 
 
 def _initial_column(params: ref.ColumnParams, grid: LayerGrid
@@ -116,8 +129,39 @@ def read_site_subdaily_csv(path: str, nisurf: int):
                     ov[k] = float(row[k])
             if row.get("ppt") not in (None, ""):
                 ov["forc_rain"] = float(row["ppt"]) / dt
+            if row.get("evap_obs") not in (None, ""):
+                # Observed ET (mm per substep; HYBRID9.f90:449) — kept
+                # for the daily comparison column, stripped before the
+                # overrides reach the physics.
+                ov["evap_obs"] = float(row["evap_obs"])
             out[doy][step] = ov
     return out
+
+
+def _split_obs(subdaily: Optional[Dict[int, list]]
+               ) -> tuple[Optional[Dict[int, list]], Dict[int, float]]:
+    """Strip ``evap_obs`` entries out of sub-daily override dicts.
+
+    Returns (physics-only overrides, {doy: observed daily ET in mm}).
+    """
+    if not subdaily:
+        return subdaily, {}
+    clean: Dict[int, list] = {}
+    obs: Dict[int, float] = {}
+    for doy, steps in subdaily.items():
+        clean_steps = []
+        total = 0.0
+        seen = False
+        for ov in steps:
+            ov = dict(ov)
+            if "evap_obs" in ov:
+                total += ov.pop("evap_obs")
+                seen = True
+            clean_steps.append(ov)
+        clean[doy] = clean_steps
+        if seen:
+            obs[doy] = total
+    return clean, obs
 
 
 def run_site(cfg: Config,
@@ -126,7 +170,8 @@ def run_site(cfg: Config,
              lai_waypoints: Optional[Dict[int, float]] = None,
              subdaily: Optional[Dict[int, list]] = None,
              grow: bool = True,
-             csv_out: Optional[str] = None) -> SiteResult:
+             csv_out: Optional[str] = None,
+             engine: str = "oracle") -> SiteResult:
     """Run the single-column site simulation.
 
     ``cfg.spinup_years`` repeats of the climate record precede the scored
@@ -137,7 +182,8 @@ def run_site(cfg: Config,
     maps day-of-year to per-substep forcing overrides (see
     :func:`read_site_subdaily_csv`); ``grow=False`` disables the daily
     GROW call (the LCLIM mode with prescribed LAI,
-    HYBRID9.f90:473-475).
+    HYBRID9.f90:473-475).  ``engine`` picks the float64 NumPy oracle
+    (``"oracle"``) or the production jitted kernels (``"kernel"``).
     """
     grid = cfg.layer_grid()
     nl = grid.nsoil
@@ -155,7 +201,41 @@ def run_site(cfg: Config,
                                     lat=np.array([cfg.site_lat])).items()})
             for d in range(365)]
     climate = list(climate)
+    subdaily, evap_obs = _split_obs(subdaily)
 
+    if engine == "kernel":
+        daily, state = _run_site_kernel(cfg, grid, params, climate,
+                                        lai_waypoints, subdaily, grow)
+    elif engine == "oracle":
+        daily, state = _run_site_oracle(cfg, grid, params, climate,
+                                        lai_waypoints, subdaily, grow)
+    else:
+        raise ValueError(f"unknown site engine {engine!r} "
+                         "(expected 'oracle' or 'kernel')")
+
+    has_obs = bool(evap_obs)
+    if has_obs:
+        for row in daily:
+            row["evap_obs"] = evap_obs.get(row["doy"], float("nan"))
+
+    if csv_out:
+        header = CSV_HEADER + (["evap_obs"] if has_obs else [])
+        with open(csv_out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            for row in daily:
+                w.writerow([row["year"], row["doy"]]
+                           + [f"{row[k]:.4f}" for k in header[2:]])
+        log.info("wrote %d daily rows to %s", len(daily), csv_out)
+
+    return SiteResult(daily=daily, state=state)
+
+
+def _run_site_oracle(cfg: Config, grid: LayerGrid,
+                     params: ref.ColumnParams, climate: list,
+                     lai_waypoints, subdaily, grow: bool):
+    """Site loop on the float64 NumPy column oracle."""
+    nl = grid.nsoil
     state = _initial_column(params, grid)
     zi, dz, zc = grid.zi, grid.dz, grid.zc
     dt = cfg.dt
@@ -187,14 +267,178 @@ def run_site(cfg: Config,
                     w_i=out["w_i"], f_t=out["f_t"],
                     max_residual=out["max_residual"],
                 ))
+    return daily, state
 
-    if csv_out:
-        with open(csv_out, "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(CSV_HEADER)
-            for row in daily:
-                w.writerow([row["year"], row["doy"]]
-                           + [f"{row[k]:.4f}" for k in CSV_HEADER[2:]])
-        log.info("wrote %d daily rows to %s", len(daily), csv_out)
 
-    return SiteResult(daily=daily, state=state)
+def _kernel_soil_params(params: ref.ColumnParams, dtype):
+    """ColumnParams -> a one-cell SoilParams pytree (site = n=1 batch)."""
+    import jax.numpy as jnp
+
+    from .data.soil import residual_theta
+    from .state import SoilParams
+    bsw = np.asarray(params.bsw, np.float64)
+    lam = 1.0 / bsw
+    theta_m = residual_theta(np.asarray(params.theta_s, np.float64),
+                             np.asarray(params.psi_s, np.float64), lam)
+
+    def one(x):
+        return jnp.asarray(np.asarray(x, np.float64)[None, :], dtype)
+
+    return SoilParams(
+        theta_s=one(params.theta_s), hksat=one(params.hksat),
+        lambda_=one(lam), bsw=one(params.bsw), psi_s=one(params.psi_s),
+        theta_m=one(theta_m),
+        fmax=jnp.asarray([float(params.fmax)], dtype))
+
+
+def _fd_step_arrays(forcing: ref.DailyForcing, overrides, nisurf: int,
+                    dtype):
+    """Stack the day's per-substep derived forcing into [nisurf, 1] arrays.
+
+    Applies the sub-daily observation overrides exactly as the oracle does
+    (reference_column.run_day; HYBRID9.f90:426-460), including the latent-
+    heat recomputation when observed air temperature replaces the daily
+    value.
+    """
+    import jax.numpy as jnp
+    base = ref.derived_forcing(forcing)
+    keys = ("tak", "rh", "rnet", "par", "forc_rain", "lamb", "huss", "ps")
+    rows = []
+    for ns in range(nisurf):
+        fd = dict(base)
+        if overrides is not None:
+            ov = overrides[ns]
+            fd.update(ov)
+            if "tak" in ov and "lamb" not in ov:
+                fd["lamb"] = (2503.0 - 2.386 * (fd["tak"] - c.TF)) * 1.0e3
+        rows.append(fd)
+    return {k: jnp.asarray(np.array([[r[k]] for r in rows]), dtype)
+            for k in keys}
+
+
+def _run_site_kernel(cfg: Config, grid: LayerGrid,
+                     params: ref.ColumnParams, climate: list,
+                     lai_waypoints, subdaily, grow: bool):
+    """Site loop driving the production jitted kernels on one column.
+
+    The kernel analog of the reference's LCLIM branch
+    (HYBRID9.f90:339-484): the same `hydrology_substep`/`grow_daily` code
+    that runs the global simulation, batched at n=1, with the observed
+    sub-daily forcing rows replacing the daily derivation.  The whole
+    climate record is pre-stacked to ``[ndays, nisurf, 1]`` arrays and
+    each spin-up loop runs as ONE ``lax.scan`` over days (per-day host
+    dispatches would be latency-bound on a remote TPU); prescribed-LAI
+    waypoints ride the scan as a per-day override array.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .physics.grow import grow_daily
+    from .physics.hydrology import Geometry, hydrology_substep
+    from .state import initial_state
+
+    dtype = jnp.dtype(cfg.dtype)
+    nl = grid.nsoil
+    geom = Geometry.from_layer_grid(grid)
+    sp = _kernel_soil_params(params, dtype)
+    state = initial_state(sp, grid.dz, grid.zi, dtype)
+    soil, veg = state.soil, state.veg
+    dt = cfg.dt
+    zi_arr = jnp.asarray(grid.zi, dtype)
+    ndays = len(climate)
+
+    # Pre-stack the year: [ndays, nisurf, 1] derived forcing (with the
+    # sub-daily observation overrides already applied), [ndays, 1] daily
+    # air temperature, and the per-day prescribed LAI (NaN = none).
+    per_day = [_fd_step_arrays(f, (subdaily or {}).get(d + 1),
+                               cfg.nisurf, dtype)
+               for d, f in enumerate(climate)]
+    fd_year = {k: jnp.stack([p[k] for p in per_day]) for k in per_day[0]}
+    tas_year = jnp.asarray([[f.tas] for f in climate], dtype)
+    lai_year = np.full((ndays, 1), np.nan)
+    if lai_waypoints:
+        for doy, v in lai_waypoints.items():
+            if 1 <= doy <= ndays:
+                lai_year[doy - 1, 0] = v
+    lai_year = jnp.asarray(lai_year, dtype)
+
+    @functools.partial(jax.jit, static_argnames=("geom", "dt", "grow"))
+    def year_fn(soil, veg, fd_year, tas_year, lai_year, sp, geom, dt,
+                grow):
+        def day_body(carry, inputs):
+            soil, veg = carry
+            fd_steps, tas, lai_new = inputs
+            # Prescribed-LAI waypoint (HYBRID9.f90:380-417): shed foliage
+            # goes to the litter layer.
+            have = jnp.isfinite(lai_new)
+            cur = veg.lai
+            shed = jnp.where(have & (lai_new < cur), cur - lai_new, 0.0)
+            veg = veg.replace(lai=jnp.where(have, lai_new, cur),
+                              lai_litter=veg.lai_litter + shed)
+
+            def substep(scarry, fd):
+                soil, evap, evap_grnd, rnf, max_res = scarry
+                soil, fx = hydrology_substep(soil, veg, sp, fd, geom, dt)
+                evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
+                evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
+                rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
+                max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
+                return (soil, evap, evap_grnd, rnf, max_res), None
+
+            z = jnp.zeros_like(soil.zwt)
+            (soil, evap, evap_grnd, rnf, max_res), _ = jax.lax.scan(
+                substep, (soil, z, z, z, z), fd_steps)
+            if grow:
+                # Growth-constraint diagnostics from the post-substep
+                # smp, pre-growth roots — the values grow_daily itself
+                # uses (GROW.f90:55-72); zeros when growth is off,
+                # matching the oracle's run_day.
+                wi_l = jnp.clip((-150000.0 - soil.smp) / (-100000.0),
+                                0.0, 1.0)
+                w_i = jnp.sum(veg.rootr * wi_l, axis=-1)
+                d = tas - c.TF
+                ft_warm = jnp.maximum(
+                    0.0, 1.0 - (jnp.abs(d - 18.0) / 21.0) ** 2)
+                ft_cool = jnp.clip(
+                    1.0 - (jnp.abs(d - 18.0) / 25.0) ** 2, 0.0, 1.0)
+                f_t = jnp.where(d > 18.0, ft_warm, ft_cool)
+                veg, _npp = grow_daily(veg, soil.smp, tas, zi_arr)
+            else:
+                w_i = z
+                f_t = z
+            out = dict(evap_day=evap, evap_grnd_day=evap_grnd,
+                       rnf_day=rnf, max_residual=max_res, w_i=w_i,
+                       f_t=f_t, lai=veg.lai, lai_litter=veg.lai_litter,
+                       h2osoi=soil.h2osoi_liq)
+            return (soil, veg), out
+
+        (soil, veg), outs = jax.lax.scan(
+            day_body, (soil, veg), (fd_year, tas_year, lai_year))
+        return soil, veg, outs
+
+    n_loops = max(1, cfg.spinup_years + 1)
+    for loop in range(n_loops):
+        soil, veg, outs = year_fn(soil, veg, fd_year, tas_year, lai_year,
+                                  sp, geom, dt, grow)
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+
+    dz = grid.dz[:nl]
+    daily: List[Dict[str, float]] = []
+    for d in range(ndays):
+        theta = outs["h2osoi"][d, 0] / dz
+        daily.append(dict(
+            year=cfg.start_year, doy=d + 1,
+            evap_day=float(outs["evap_day"][d, 0]),
+            evap_grnd_day=float(outs["evap_grnd_day"][d, 0]),
+            theta1=float(theta[0]), theta2=float(theta[1]),
+            theta3=float(theta[2]), theta4=float(theta[3]),
+            theta_ma1=0.0,
+            lai=float(outs["lai"][d, 0]),
+            lai_litter=float(outs["lai_litter"][d, 0]),
+            w_i=float(outs["w_i"][d, 0]), f_t=float(outs["f_t"][d, 0]),
+            max_residual=float(outs["max_residual"][d, 0]),
+        ))
+    final = state.replace(soil=soil, veg=veg)
+    return daily, final
