@@ -43,7 +43,10 @@ BASELINE_CELLS_PER_S_PER_CORE = 500.0
 
 
 def main() -> None:
-    n_cells = 66560          # ~global 0.5-degree land-cell count, padded
+    # H9_BENCH_N overrides the cell count; 282624 = padded global
+    # 0.25-degree land-cell count (the resolution-scaling second line in
+    # PERFORMANCE.md).  Default = padded global 0.5-degree count.
+    n_cells = int(os.environ.get("H9_BENCH_N", "66560"))
     n_warmup = 3
     n_iters = 100
     use_pallas = os.environ.get("H9_BENCH_PALLAS", "1") != "0"
@@ -55,6 +58,9 @@ def main() -> None:
     from __graft_entry__ import _build
     from hybrid9_tpu.step import day_step
     step_fn, state, forcing, params, geom, cfg = _build(n_cells)
+    # H9_BENCH_ZD09=k overrides the ZD09 refresh interval; default is
+    # the production Config default (1 = exact reference behavior).
+    zd09_every = int(os.environ.get("H9_BENCH_ZD09", str(cfg.zd09_every)))
 
     mesh = None
     if shard:
@@ -69,7 +75,8 @@ def main() -> None:
     step = jax.jit(
         lambda s, f: day_step(s, f, params, geom, cfg.dt, cfg.nisurf,
                               use_pallas=use_pallas, pallas_block=1024,
-                              mesh=mesh if use_pallas else None))
+                              mesh=mesh if use_pallas else None,
+                              zd09_every=zd09_every))
 
     def sync(st):
         # Forced D2H transfer: the only reliable queue drain here.
@@ -95,12 +102,15 @@ def main() -> None:
         sys.exit(1)
 
     cells_per_s = n_cells * n_iters / elapsed
+    label = "0.5deg global" if n_cells == 66560 else (
+        "0.25deg global" if n_cells == 282624 else f"{n_cells} cells")
     result = {
-        "metric": "land grid-cells/s/chip (0.5deg global, daily step)",
+        "metric": f"land grid-cells/s/chip ({label}, daily step)",
         "value": round(cells_per_s, 1),
         "unit": "grid-cell-days/s/chip",
         "vs_baseline": round(cells_per_s / BASELINE_CELLS_PER_S_PER_CORE,
                              2),
+        "n_cells": n_cells,
     }
     print(json.dumps(result))
 

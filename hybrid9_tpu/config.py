@@ -143,6 +143,17 @@ class Config:
     pallas_block: int = 1024          # Cells per Pallas VMEM tile.
     pallas_interpret: bool = False    # Run Pallas kernels in interpreter
                                       # mode (CPU tests only).
+    zd09_every: int = 8               # Refresh the ZD09 equilibrium
+                                      # profile every N substeps (at
+                                      # NISURF=48, 8 = every 4 h; the
+                                      # water table it depends on moves
+                                      # mm/day).  1 = every substep =
+                                      # exact reference behavior (all
+                                      # parity tests use 1).  8 cuts
+                                      # ~25% of the substep's
+                                      # transcendentals (+24% bench);
+                                      # conservation is structurally
+                                      # unaffected (DEVIATIONS.md).
 
     # --- Lateral flow (new capabilities) ----------------------------------
     lateral_routing: bool = True      # Route runoff through the D8 net
@@ -165,6 +176,9 @@ class Config:
     snow: bool = True                 # Daily snowpack (physics/snow.py):
                                       # rain/snow partition + degree-day
                                       # melt feeding the hydrology.
+    snow_scheme: str = "degree-day"   # "degree-day" (single store) or
+                                      # "twolayer" (cold content, liquid
+                                      # retention/refreeze, ripening).
     snow_ddf: float = 3.0             # Degree-day melt factor (mm/K/day).
     frozen_soil: bool = True          # Frozen-ground hydraulic impedance
                                       # from the prognostic temperature

@@ -42,12 +42,49 @@ def air_state(fd: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return dict(rho=rho, desatdT=desatdT, vdd=vdd, gamma=gamma)
 
 
+def daily_et_context(fd: Dict[str, jnp.ndarray], lai: jnp.ndarray
+                     ) -> Dict[str, jnp.ndarray]:
+    """Forcing/LAI-only ET terms, constant across a day's substeps.
+
+    The substep loop re-evaluated these 48x per day although they depend
+    only on the daily forcing and the (daily-updated) LAI: the air state
+    (2 exp), the stomatal VPD attenuation (1 pow), the canopy/aero
+    resistances, and the substrate net radiation (1 exp).  Hoisting them
+    is bitwise-neutral — identical expressions on identical inputs —
+    and removes ~4 of the substep's transcendentals plus a dozen
+    divides.  Callers with per-substep forcing (site mode with sub-daily
+    observations) simply rebuild the context each substep.
+    """
+    a = air_state(fd)
+    rho = a["rho"]
+    lai_safe = jnp.where(lai > 0.0, lai, 1.0)
+    # Stomatal VPD attenuation (HYDROLOGY.f90:283-295).
+    vpd_att = 2.8 ** (-80.0 * jnp.maximum(0.0, a["vdd"]) / rho)
+    # Baldocchi et al. (2004) minimum resistance.
+    rsc_min = 1.0 / ((lai_safe / 2.7) * 0.9 / (rho * 1.0e3 / 18.0))
+    # Boundary/aerodynamic resistances (SW85 Eqns 20, 30, 31).
+    rac = jnp.where(lai > 0.0, 25.0 / (2.0 * lai_safe), 1.0e6)
+    raa = jnp.where(lai <= 4.0,
+                    0.25 * lai * 42.0 + 0.25 * (4.0 - lai) * 34.0, 42.0)
+    ras = jnp.where(lai <= 4.0,
+                    0.25 * lai * 128.0 + 0.25 * (4.0 - lai) * 49.0, 128.0)
+    # Substrate net radiation and ground heat flux (HYDROLOGY.f90:
+    # 335-339).
+    rnets = fd["rnet"] * jnp.exp(-0.7 * lai)
+    g_soil = 0.2 * rnets
+    return dict(rho=rho, desatdT=a["desatdT"], vdd=a["vdd"],
+                gamma=a["gamma"], vpd_att=vpd_att, lai_safe=lai_safe,
+                rsc_min=rsc_min, rac=rac, raa=raa, ras=ras, rnets=rnets,
+                g_soil=g_soil)
+
+
 def dual_source_et(theta: List[jnp.ndarray], theta_s: List[jnp.ndarray],
                    smp_prev: List[jnp.ndarray],
                    rootr: List[jnp.ndarray],
                    lai: jnp.ndarray, lai_litter: jnp.ndarray,
                    zc_soil: jnp.ndarray, dz0, dt: float,
-                   fd: Dict[str, jnp.ndarray]) -> ETResult:
+                   fd: Dict[str, jnp.ndarray],
+                   ctx: Dict[str, jnp.ndarray] = None) -> ETResult:
     """Dual-source ET with stomatal stress and top-layer supply limit.
 
     Args:
@@ -62,9 +99,14 @@ def dual_source_et(theta: List[jnp.ndarray], theta_s: List[jnp.ndarray],
       dz0: top-layer thickness (mm).
       dt: substep (s).
       fd: derived forcing dict (tak, rh, rnet, par, lamb, huss, ps).
+      ctx: optional precomputed :func:`daily_et_context` (forcing/LAI
+        terms constant across the day); rebuilt from ``fd`` when absent.
     """
-    a = air_state(fd)
-    rho, desatdT, vdd, gamma = a["rho"], a["desatdT"], a["vdd"], a["gamma"]
+    if ctx is None:
+        ctx = daily_et_context(fd, lai)
+    rho, desatdT = ctx["rho"], ctx["desatdT"]
+    vdd, gamma = ctx["vdd"], ctx["gamma"]
+    lai_safe = ctx["lai_safe"]
 
     # Root-weighted stomatal water stress (HYDROLOGY.f90:269-276).
     beta = None
@@ -77,28 +119,21 @@ def dual_source_et(theta: List[jnp.ndarray], theta_s: List[jnp.ndarray],
     # HYDROLOGY.f90:283-295).  Guarded against the LAI/beta/PAR = 0 case.
     par = fd["par"]
     active = (lai > 0.0) & (beta > 0.0) & (par > 0.0)
-    lai_safe = jnp.where(lai > 0.0, lai, 1.0)
     beta_safe = jnp.where(beta > 0.0, beta, 1.0)
     par_safe = jnp.where(par > 0.0, par, 1.0)
     rsc_raw = (1.0 / (par_safe / (par_safe + 300.0))) * 400.0 / (
-        2.0 * lai_safe * beta_safe
-        * 2.8 ** (-80.0 * jnp.maximum(0.0, vdd) / rho))
+        2.0 * lai_safe * beta_safe * ctx["vpd_att"])
     rsc = jnp.where(active, rsc_raw, 1.0e6)
     # Baldocchi et al. (2004) minimum (HYDROLOGY.f90:295).
-    rsc_min = 1.0 / ((lai_safe / 2.7) * 0.9 / (rho * 1.0e3 / 18.0))
-    rsc = jnp.where(lai > 0.0, jnp.maximum(rsc, rsc_min), rsc)
+    rsc = jnp.where(lai > 0.0, jnp.maximum(rsc, ctx["rsc_min"]), rsc)
     # Cap: with beta underflowing toward 0, 1/beta overflows f32 to Inf
     # and Cc/Cs become Inf/Inf = NaN (the f32 reference has the same
     # hazard).  1e8 s/m is already a hermetically closed canopy.
     rsc = jnp.minimum(rsc, c.RSC_MAX)
 
     # Boundary/aerodynamic resistances (SW85 Eqns 20, 30, 31;
-    # HYDROLOGY.f90:302-318).
-    rac = jnp.where(lai > 0.0, 25.0 / (2.0 * lai_safe), 1.0e6)
-    raa = jnp.where(lai <= 4.0,
-                    0.25 * lai * 42.0 + 0.25 * (4.0 - lai) * 34.0, 42.0)
-    ras = jnp.where(lai <= 4.0,
-                    0.25 * lai * 128.0 + 0.25 * (4.0 - lai) * 49.0, 128.0)
+    # HYDROLOGY.f90:302-318) — from the daily context.
+    rac, raa, ras = ctx["rac"], ctx["raa"], ctx["ras"]
 
     # Substrate resistance (van de Griend & Owe 1994 Eqn 20;
     # HYDROLOGY.f90:325-331).
@@ -112,8 +147,8 @@ def dual_source_et(theta: List[jnp.ndarray], theta_s: List[jnp.ndarray],
     # Dual-source Penman-Monteith (SW85 Eqns 12-13, 21;
     # HYDROLOGY.f90:335-389).
     rnet = fd["rnet"]
-    rnets = rnet * jnp.exp(-0.7 * lai)
-    g_soil = 0.2 * rnets
+    rnets = ctx["rnets"]
+    g_soil = ctx["g_soil"]
     pmc = (desatdT * (rnet - g_soil)
            + (rho * c.CP_AIR * vdd - desatdT * rac * (rnets - g_soil))
            / (raa + rac)) \

@@ -70,7 +70,8 @@ def derive_forcing(f: Forcing) -> Dict[str, jnp.ndarray]:
 def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
                    p_theta_s, p_hksat, p_psi_s, p_bsw, fmax,
                    fd: Dict[str, jnp.ndarray], geom: Geometry,
-                   dt: float, imp=None) -> Dict[str, object]:
+                   dt: float, imp=None, zq=None,
+                   et_ctx=None) -> Dict[str, object]:
     """One hydrology substep on plain values.
 
     Per-layer args (``h``, ``smp_prev``, ``rootr``, ``p_*``) are lists of
@@ -79,7 +80,9 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
     kernel (pallas_day.py), which calls it on VMEM-resident blocks.
     ``imp`` optionally supplies per-layer frozen-soil impedance factors
     (soiltemp.freeze_impedance, constant within a day) that throttle
-    infiltration and interface conductivity.
+    infiltration and interface conductivity; ``zq`` an optionally
+    precomputed ZD09 equilibrium profile (see
+    soilwater.compute_equilibrium_zq) reused across substeps.
 
     Returns a dict with the updated prognostics (``h``, ``smp`` as lists;
     ``zwt``, ``wa``) and the substep fluxes.
@@ -99,7 +102,8 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
 
     # Dual-source ET (HYDROLOGY.f90:228-418).
     et = dual_source_et(theta, p_theta_s, smp_prev, rootr,
-                        lai, lai_litter, geom.zc_soil, dz[0], dt, fd)
+                        lai, lai_litter, geom.zc_soil, dz[0], dt, fd,
+                        ctx=et_ctx)
 
     # CESM Infiltration (HYDROLOGY.f90:426-478).
     eff_porosity = [jnp.maximum(0.01, ts) for ts in p_theta_s]
@@ -119,7 +123,7 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
     sw = soil_water_update(
         h, theta, zwt, p_theta_s, p_hksat, p_psi_s, p_bsw,
         qflx_infl, et.qflx_tran_veg, rootr, geom.zi, dz, geom.zc_soil,
-        dt, imp)
+        dt, imp, zq=zq)
 
     # CESM Drainage: water table, baseflow, fix-ups
     # (HYDROLOGY.f90:911-1216).
@@ -143,13 +147,15 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
 
 def hydrology_substep(soil: SoilState, veg: VegState, params,
                       fd: Dict[str, jnp.ndarray], geom: Geometry,
-                      dt: float, imp=None
+                      dt: float, imp=None, zq=None, et_ctx=None
                       ) -> Tuple[SoilState, SubstepFluxes]:
     """One hydrology substep for all cells (pytree wrapper).
 
     ``params`` is a SoilParams pytree; ``fd`` is the derived-forcing dict
     from :func:`derive_forcing` (computed once per day, reused across the
-    48 substeps); ``imp`` the optional ``[n, nl]`` frozen-soil impedance.
+    48 substeps); ``imp`` the optional ``[n, nl]`` frozen-soil impedance;
+    ``zq`` an optional precomputed ``[n, nl+1]`` ZD09 equilibrium
+    profile (soilwater.compute_equilibrium_zq, stacked).
     """
     out = substep_values(
         unstack(soil.h2osoi_liq), unstack(soil.smp), soil.zwt, soil.wa,
@@ -157,7 +163,9 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
         unstack(params.theta_s), unstack(params.hksat),
         unstack(params.psi_s), unstack(params.bsw), params.fmax,
         fd, geom, dt,
-        imp=None if imp is None else unstack(imp))
+        imp=None if imp is None else unstack(imp),
+        zq=None if zq is None else unstack(zq),
+        et_ctx=et_ctx)
 
     new_soil = SoilState(
         h2osoi_liq=stack(out["h"]),

@@ -37,7 +37,8 @@ def _day_kernel(h_ref, smp_ref, zwt_ref, wa_ref,
                 rootr_ref, lai_ref, litter_ref,
                 ts_ref, hk_ref, ps_ref, bs_ref, fmax_ref,
                 *fd_refs_and_outs, geom: Geometry, dt: float,
-                nisurf: int, nl: int, with_imp: bool = False):
+                nisurf: int, nl: int, with_imp: bool = False,
+                zd09_every: int = 1):
     rows = lambda ref: [ref[i, :] for i in range(nl)]
     imp = None
     if with_imp:
@@ -57,23 +58,63 @@ def _day_kernel(h_ref, smp_ref, zwt_ref, wa_ref,
               huss=huss_ref[:], ps=psair_ref[:])
 
     zero = jnp.zeros_like(lai)
+    # Forcing/LAI-only ET terms, constant across the day's substeps
+    # (bitwise-neutral hoist; et.daily_et_context).
+    from .et import daily_et_context
+    et_ctx = daily_et_context(fd, lai)
 
-    def body(_, carry):
-        h, smp, zwt, wa, evap, evap_grnd, rnf, max_res = carry
-        out = substep_values(list(h), list(smp), zwt, wa, rootr, lai,
-                             litter, p_ts, p_hk, p_ps, p_bs, fmax,
-                             fd, geom, dt, imp=imp)
-        evap = evap + (out["qflx_evap_grnd"] + out["qflx_tran_veg"]) * dt
-        evap_grnd = evap_grnd + out["qflx_evap_grnd"] * dt
-        rnf = rnf + (out["qflx_surf"] + out["rsub_top"]) * dt
-        max_res = jnp.maximum(max_res, jnp.abs(out["residual"]))
-        return (tuple(out["h"]), tuple(out["smp"]), out["zwt"],
-                out["wa"], evap, evap_grnd, rnf, max_res)
+    if zd09_every > 1:
+        # The ZD09 equilibrium profile (~26 of the substep's ~44 pow
+        # evaluations) depends only on zwt + static params; refresh it
+        # every zd09_every substeps via a scalar-predicate cond (the
+        # water table moves millimetres per day; conservation is
+        # unaffected — see soilwater.compute_equilibrium_zq).
+        from .soilwater import compute_equilibrium_zq
 
-    carry0 = (tuple(rows(h_ref)), tuple(rows(smp_ref)), zwt_ref[:],
-              wa_ref[:], zero, zero, zero, zero)
-    h, smp, zwt, wa, evap, evap_grnd, rnf, max_res = jax.lax.fori_loop(
-        0, nisurf, body, carry0)
+        def body(it, carry):
+            (h, smp, zwt, wa, zq, evap, evap_grnd, rnf,
+             max_res) = carry
+            zq = jax.lax.cond(
+                it % zd09_every == 0,
+                lambda z: tuple(compute_equilibrium_zq(
+                    z, p_ts, p_ps, p_bs, geom.zi)),
+                lambda _: zq, zwt)
+            out = substep_values(list(h), list(smp), zwt, wa, rootr,
+                                 lai, litter, p_ts, p_hk, p_ps, p_bs,
+                                 fmax, fd, geom, dt, imp=imp,
+                                 zq=list(zq), et_ctx=et_ctx)
+            evap = evap + (out["qflx_evap_grnd"]
+                           + out["qflx_tran_veg"]) * dt
+            evap_grnd = evap_grnd + out["qflx_evap_grnd"] * dt
+            rnf = rnf + (out["qflx_surf"] + out["rsub_top"]) * dt
+            max_res = jnp.maximum(max_res, jnp.abs(out["residual"]))
+            return (tuple(out["h"]), tuple(out["smp"]), out["zwt"],
+                    out["wa"], zq, evap, evap_grnd, rnf, max_res)
+
+        zq0 = tuple(jnp.zeros_like(lai) for _ in range(nl + 1))
+        carry0 = (tuple(rows(h_ref)), tuple(rows(smp_ref)), zwt_ref[:],
+                  wa_ref[:], zq0, zero, zero, zero, zero)
+        (h, smp, zwt, wa, _zq, evap, evap_grnd, rnf,
+         max_res) = jax.lax.fori_loop(0, nisurf, body, carry0)
+    else:
+        def body(_, carry):
+            h, smp, zwt, wa, evap, evap_grnd, rnf, max_res = carry
+            out = substep_values(list(h), list(smp), zwt, wa, rootr,
+                                 lai, litter, p_ts, p_hk, p_ps, p_bs,
+                                 fmax, fd, geom, dt, imp=imp,
+                                 et_ctx=et_ctx)
+            evap = evap + (out["qflx_evap_grnd"]
+                           + out["qflx_tran_veg"]) * dt
+            evap_grnd = evap_grnd + out["qflx_evap_grnd"] * dt
+            rnf = rnf + (out["qflx_surf"] + out["rsub_top"]) * dt
+            max_res = jnp.maximum(max_res, jnp.abs(out["residual"]))
+            return (tuple(out["h"]), tuple(out["smp"]), out["zwt"],
+                    out["wa"], evap, evap_grnd, rnf, max_res)
+
+        carry0 = (tuple(rows(h_ref)), tuple(rows(smp_ref)), zwt_ref[:],
+                  wa_ref[:], zero, zero, zero, zero)
+        h, smp, zwt, wa, evap, evap_grnd, rnf, max_res = \
+            jax.lax.fori_loop(0, nisurf, body, carry0)
 
     for i in range(nl):
         h_out[i, :] = h[i]
@@ -88,11 +129,12 @@ def _day_kernel(h_ref, smp_ref, zwt_ref, wa_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("geom", "dt", "nisurf", "block",
-                                    "interpret"))
+                                    "interpret", "zd09_every"))
 def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
                          forcing: Forcing, geom: Geometry, dt: float,
                          nisurf: int, block: int = 2048,
-                         interpret: bool = False, imp=None
+                         interpret: bool = False, imp=None,
+                         zd09_every: int = 1
                          ) -> Tuple[SoilState, Dict[str, jnp.ndarray]]:
     """Run ``nisurf`` hydrology substeps for one day via the Pallas kernel.
 
@@ -100,7 +142,9 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
     the number of cells per VMEM tile; the packed cell count must divide
     by it.  ``interpret=True`` runs the kernel in interpreter mode (for
     CPU tests).  ``imp`` optionally adds the ``[n, nl]`` frozen-soil
-    impedance as one more VMEM-resident operand.
+    impedance as one more VMEM-resident operand.  ``zd09_every > 1``
+    refreshes the ZD09 equilibrium profile only every that many substeps
+    (an accuracy/speed knob; conservation is unaffected).
     """
     n, nl = soil.h2osoi_liq.shape
     if n % block:
@@ -141,7 +185,8 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
 
     kernel = functools.partial(_day_kernel, geom=geom, dt=dt,
                                nisurf=nisurf, nl=nl,
-                               with_imp=imp is not None)
+                               with_imp=imp is not None,
+                               zd09_every=zd09_every)
     imp_ops = (t(imp),) if imp is not None else ()
     outs = pl.pallas_call(
         kernel,
@@ -169,7 +214,8 @@ def pallas_hydrology_day_sharded(soil: SoilState, veg, params: SoilParams,
                                  forcing: Forcing, geom: Geometry,
                                  dt: float, nisurf: int, mesh,
                                  axis: str = "cells", block: int = 1024,
-                                 interpret: bool = False, imp=None):
+                                 interpret: bool = False, imp=None,
+                                 zd09_every: int = 1):
     """Multi-chip variant: shard_map the day kernel over the cell axis.
 
     Every input/output is partitioned on its leading (cell) axis; each
@@ -195,7 +241,8 @@ def pallas_hydrology_day_sharded(soil: SoilState, veg, params: SoilParams,
         return pallas_hydrology_day(soil_l, veg_l, params_l, forcing_l,
                                     geom, dt, nisurf, block=block,
                                     interpret=interpret,
-                                    imp=imp_l[0] if imp_l else None)
+                                    imp=imp_l[0] if imp_l else None,
+                                    zd09_every=zd09_every)
 
     out_shape = jax.eval_shape(local_fn, *args)
     out_specs = jax.tree_util.tree_map(spec_of, out_shape)

@@ -110,6 +110,25 @@ def _equilibrium_profile(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
     return zq
 
 
+def compute_equilibrium_zq(zwt: jnp.ndarray, theta_s: List[jnp.ndarray],
+                           psi_s: List[jnp.ndarray],
+                           bsw: List[jnp.ndarray],
+                           zi: jnp.ndarray) -> List[jnp.ndarray]:
+    """Standalone ZD09 equilibrium profile for a given water table.
+
+    Used by the substep loops to refresh the profile every
+    ``zd09_every`` substeps instead of recomputing its ~26 pow
+    evaluations per substep (PERFORMANCE.md "speed-of-light" section):
+    the profile depends only on ``zwt`` and static soil parameters, and
+    ``zwt`` moves millimetres per day, so a stale profile changes the
+    *accuracy* of the equilibrium correction, never mass conservation
+    (the same zq enters layer i's outflow and layer i+1's inflow).
+    """
+    zwtmm = 1000.0 * zwt
+    jwt = water_table_index(zwt, zi)
+    return _equilibrium_profile(zwtmm, jwt, theta_s, psi_s, bsw, zi)
+
+
 def _conductivity_and_potential(theta: List[jnp.ndarray],
                                 theta_s: List[jnp.ndarray],
                                 hksat: List[jnp.ndarray],
@@ -208,13 +227,16 @@ def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
                       rootr: List[jnp.ndarray], zi: jnp.ndarray,
                       dz_soil: jnp.ndarray, zc_soil: jnp.ndarray,
                       dt: float,
-                      imp: Optional[List[jnp.ndarray]] = None
+                      imp: Optional[List[jnp.ndarray]] = None,
+                      zq: Optional[List[jnp.ndarray]] = None
                       ) -> SoilWaterResult:
     """One implicit vertical soil-water step for all cells.
 
     Per-layer args are lists of ``[n]`` arrays; ``zi [10]``,
     ``dz_soil``, ``zc_soil`` are static geometry (mm); ``imp`` is the
-    optional frozen-soil impedance per layer.
+    optional frozen-soil impedance per layer; ``zq`` an optionally
+    precomputed ZD09 profile (:func:`compute_equilibrium_zq`) — when
+    given, the per-substep recomputation is skipped.
     """
     nl = len(h2osoi)
     zwtmm = 1000.0 * zwt
@@ -222,7 +244,8 @@ def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
     in_col = jwt < nl          # water table inside the soil column
     below = jnp.logical_not(in_col)
 
-    zq = _equilibrium_profile(zwtmm, jwt, theta_s, psi_s, bsw, zi)
+    if zq is None:
+        zq = _equilibrium_profile(zwtmm, jwt, theta_s, psi_s, bsw, zi)
     hk, dhkdw, smp, dsmpdw = _conductivity_and_potential(
         theta, theta_s, hksat, psi_s, bsw, imp)
 

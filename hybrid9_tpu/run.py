@@ -118,8 +118,12 @@ class Simulation:
                                                k_lat=cfg.lateral_k)
         self.snow = None
         if cfg.snow:
-            from .physics.snow import SnowParams
-            self.snow = SnowParams(ddf=cfg.snow_ddf)
+            if cfg.snow_scheme == "twolayer":
+                from .physics.snow import TwoLayerSnowParams
+                self.snow = TwoLayerSnowParams(ddf=cfg.snow_ddf)
+            else:
+                from .physics.snow import SnowParams
+                self.snow = SnowParams(ddf=cfg.snow_ddf)
         # INTERACTIVE mode: daily CSV diagnostics for one focus cell
         # (the reference's single-point debug mode, INIT.f90:220-236,
         # HYBRID9.f90:221-229).
@@ -181,7 +185,8 @@ class Simulation:
                 vegetation=cfg.vegetation,
                 soil_ice=cfg.frozen_soil and cfg.soil_ice,
                 mesh=self.mesh if self.use_pallas else None,
-                pallas_interpret=cfg.pallas_interpret)
+                pallas_interpret=cfg.pallas_interpret,
+                zd09_every=cfg.zd09_every)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 if self.focus_writer is not None:

@@ -87,6 +87,31 @@ class VegState:
 
 
 @struct.dataclass
+class SnowpackState:
+    """Two-layer snowpack prognostics (physics/snow.py two-layer scheme).
+
+    A surface layer (bounded SWE, fast thermal coupling to the air) over
+    a base layer, plus retained liquid water.  Layer temperatures carry
+    the pack's cold content, so melt is delayed until the pack ripens
+    and meltwater/rain can refreeze — the standard intermediate-
+    complexity pack (SNOW-17/HBV family).  All fields ``[n]``; zeros
+    when the simple degree-day scheme is active.
+    """
+
+    swe_surf: jax.Array   # [n] Surface-layer SWE (ice)              (mm)
+    swe_base: jax.Array   # [n] Base-layer SWE (ice)                 (mm)
+    w_liq: jax.Array      # [n] Retained liquid water                (mm)
+    t_surf: jax.Array     # [n] Surface-layer temperature  (K, <= 273.15)
+    t_base: jax.Array     # [n] Base-layer temperature     (K, <= 273.15)
+
+    @classmethod
+    def zeros(cls, n: int, dtype=jnp.float32) -> "SnowpackState":
+        z = jnp.zeros((n,), dtype)
+        tf = jnp.full((n,), c.TF, dtype)
+        return cls(swe_surf=z, swe_base=z, w_liq=z, t_surf=tf, t_base=tf)
+
+
+@struct.dataclass
 class ModelState:
     """Full prognostic state: soil + vegetation + river network.
 
@@ -98,6 +123,10 @@ class ModelState:
     validated liquid-water hydrology kernels (incl. the Pallas day
     kernel) are untouched: they see only the liquid store, and the
     phase change runs once per day outside them.
+
+    ``swe`` is the pack total in both snow schemes (prognostic for the
+    degree-day scheme; a diagnostic mirror of ``snowpack`` totals for
+    the two-layer scheme, keeping accumulators/output unchanged).
     """
 
     soil: SoilState
@@ -106,6 +135,7 @@ class ModelState:
     t_soil: jax.Array         # [n, nl] Soil temperature column       (K)
     swe: jax.Array            # [n] Snow water equivalent            (mm)
     h2osoi_ice: jax.Array     # [n, nl] Soil ice per layer           (mm)
+    snowpack: SnowpackState   # Two-layer pack detail (zeros if unused)
 
 
 @struct.dataclass
@@ -256,4 +286,5 @@ def initial_state(params: SoilParams, dz_mm: np.ndarray, zi_mm: np.ndarray,
                       river_store=jnp.zeros((n,), dtype),
                       t_soil=jnp.full((n, nsoil), 283.15, dtype),
                       swe=jnp.zeros((n,), dtype),
-                      h2osoi_ice=jnp.zeros((n, nsoil), dtype))
+                      h2osoi_ice=jnp.zeros((n, nsoil), dtype),
+                      snowpack=SnowpackState.zeros(n, dtype))

@@ -32,7 +32,8 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              use_pallas: bool = False, pallas_block: int = 1024,
              routing=None, lateral=None, snow=None, freeze: bool = False,
              vegetation: bool = True, soil_ice: bool = False,
-             mesh=None, pallas_interpret: bool = False
+             mesh=None, pallas_interpret: bool = False,
+             zd09_every: int = 1
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -50,11 +51,20 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     melt is released as effective rainfall.
     """
     swe = state.swe
+    snowpack = state.snowpack
     snow_capped = None
     if snow is not None:
-        from .physics.snow import snow_step
-        swe, pr_eff, _melt, snow_capped = snow_step(
-            swe, forcing.tas, forcing.pr, snow)
+        from .physics.snow import (TwoLayerSnowParams, snow_step,
+                                   snow_step_two_layer)
+        if isinstance(snow, TwoLayerSnowParams):
+            snowpack, pr_eff, _melt, snow_capped = snow_step_two_layer(
+                snowpack, forcing.tas, forcing.pr, snow)
+            # swe mirrors the pack total so accumulators/output are
+            # scheme-agnostic.
+            swe = snowpack.swe_surf + snowpack.swe_base + snowpack.w_liq
+        else:
+            swe, pr_eff, _melt, snow_capped = snow_step(
+                swe, forcing.tas, forcing.pr, snow)
         forcing = forcing.replace(pr=pr_eff)
     # Frozen-soil impedance, lagged like smp and constant across the
     # day's substeps: from the prognostic ice store when it is on,
@@ -75,12 +85,14 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
             soil, pd = pallas_hydrology_day_sharded(
                 state.soil, state.veg, params, forcing, geom, dt, nisurf,
                 mesh=mesh, axis=mesh.axis_names[0], block=pallas_block,
-                interpret=pallas_interpret, imp=imp)
+                interpret=pallas_interpret, imp=imp,
+                zd09_every=zd09_every)
         else:
             from .physics.pallas_day import pallas_hydrology_day
             soil, pd = pallas_hydrology_day(
                 state.soil, state.veg, params, forcing, geom, dt, nisurf,
-                block=pallas_block, interpret=pallas_interpret, imp=imp)
+                block=pallas_block, interpret=pallas_interpret, imp=imp,
+                zd09_every=zd09_every)
         veg, npp = _grow(state.veg, soil, forcing, geom, vegetation)
         diags = dict(evap_day=pd["evap_day"],
                      evap_grnd_day=pd["evap_grnd_day"],
@@ -94,29 +106,67 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
                                           geom, soil_ice)
         return ModelState(soil=soil, veg=veg, river_store=river,
-                          t_soil=t_soil, swe=swe, h2osoi_ice=ice), diags
+                          t_soil=t_soil, swe=swe, h2osoi_ice=ice,
+                          snowpack=snowpack), diags
 
     fd = derive_forcing(forcing)
     veg = state.veg
     n = forcing.tas.shape[0]
     dtype = forcing.tas.dtype
     zeros = jnp.zeros((n,), dtype)
+    # Forcing/LAI-only ET terms hoisted out of the 48-substep loop
+    # (bitwise-neutral; et.daily_et_context).
+    from .physics.et import daily_et_context
+    et_ctx = daily_et_context(fd, veg.lai)
 
     # Daily sums ride the scan carry (not stacked ys): less HBM traffic
     # and a smaller XLA graph than materialising [nisurf, n] flux arrays.
-    def substep(carry, _):
-        soil, evap, evap_grnd, rnf, max_res = carry
-        soil, fx = hydrology_substep(soil, veg, params, fd, geom, dt,
-                                     imp=imp)
-        evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
-        evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
-        rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
-        max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
-        return (soil, evap, evap_grnd, rnf, max_res), None
+    if zd09_every > 1:
+        # Refresh the ZD09 equilibrium profile only every zd09_every
+        # substeps (see soilwater.compute_equilibrium_zq); the profile
+        # rides the carry as a stacked [n, nl+1] array.
+        from .physics.layers import stack, unstack
+        from .physics.soilwater import compute_equilibrium_zq
 
-    carry0 = (state.soil, zeros, zeros, zeros, zeros)
-    (soil, evap_day, evap_grnd_day, rnf_day, max_res), _ = jax.lax.scan(
-        substep, carry0, None, length=nisurf)
+        def fresh_zq(zwt):
+            # geom.zi stays a tuple of (weak-typed) Python floats, so the
+            # profile keeps the state dtype.
+            return stack(compute_equilibrium_zq(
+                zwt, unstack(params.theta_s), unstack(params.psi_s),
+                unstack(params.bsw), geom.zi))
+
+        def substep(carry, it):
+            soil, zq, evap, evap_grnd, rnf, max_res = carry
+            zq = jax.lax.cond(it % zd09_every == 0, fresh_zq,
+                              lambda _: zq, soil.zwt)
+            soil, fx = hydrology_substep(soil, veg, params, fd, geom,
+                                         dt, imp=imp, zq=zq,
+                                         et_ctx=et_ctx)
+            evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
+            evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
+            rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
+            max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
+            return (soil, zq, evap, evap_grnd, rnf, max_res), None
+
+        nl = state.soil.h2osoi_liq.shape[1]
+        zq0 = jnp.zeros((n, nl + 1), dtype)
+        carry0 = (state.soil, zq0, zeros, zeros, zeros, zeros)
+        (soil, _zq, evap_day, evap_grnd_day, rnf_day, max_res), _ = \
+            jax.lax.scan(substep, carry0, jnp.arange(nisurf))
+    else:
+        def substep(carry, _):
+            soil, evap, evap_grnd, rnf, max_res = carry
+            soil, fx = hydrology_substep(soil, veg, params, fd, geom,
+                                         dt, imp=imp, et_ctx=et_ctx)
+            evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
+            evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
+            rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
+            max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
+            return (soil, evap, evap_grnd, rnf, max_res), None
+
+        carry0 = (state.soil, zeros, zeros, zeros, zeros)
+        (soil, evap_day, evap_grnd_day, rnf_day, max_res), _ = \
+            jax.lax.scan(substep, carry0, None, length=nisurf)
 
     veg, npp = _grow(veg, soil, forcing, geom, vegetation)
 
@@ -134,7 +184,8 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
                                       geom, soil_ice)
     return ModelState(soil=soil, veg=veg, river_store=river,
-                      t_soil=t_soil, swe=swe, h2osoi_ice=ice), diags
+                      t_soil=t_soil, swe=swe, h2osoi_ice=ice,
+                      snowpack=snowpack), diags
 
 
 def _grow(veg, soil, forcing, geom, vegetation: bool):
@@ -279,14 +330,16 @@ def _focus_row(state: ModelState, forcing: Forcing,
                    static_argnames=("nisurf", "dt", "geom", "use_pallas",
                                     "pallas_block", "focus_idx",
                                     "freeze", "vegetation", "soil_ice",
-                                    "mesh", "pallas_interpret"))
+                                    "mesh", "pallas_interpret",
+                                    "zd09_every"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
                pallas_block: int = 1024, routing=None, lateral=None,
                snow=None, focus_idx=None, freeze: bool = False,
                vegetation: bool = True, soil_ice: bool = False,
-               mesh=None, pallas_interpret: bool = False):
+               mesh=None, pallas_interpret: bool = False,
+               zd09_every: int = 1):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
@@ -305,7 +358,8 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
                              pallas_block=pallas_block, routing=routing,
                              lateral=lateral, snow=snow, freeze=freeze,
                              vegetation=vegetation, soil_ice=soil_ice,
-                             mesh=mesh, pallas_interpret=pallas_interpret)
+                             mesh=mesh, pallas_interpret=pallas_interpret,
+                             zd09_every=zd09_every)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)

@@ -210,10 +210,12 @@ def test_checkpoint_schema_migration(tmp_path, layer_grid):
                            for k, v in raw.items()})
     state = initial_state(params, layer_grid.dz, layer_grid.zi,
                           jnp.float32)
-    # Simulate an "old" checkpoint: the saved tree lacks swe/h2osoi_ice.
+    # Simulate an "old" checkpoint: the saved tree lacks swe/h2osoi_ice
+    # (round-1 additions) and the two-layer snowpack (round-2 addition).
     old_tree = dataclasses.asdict(state)
     old_tree.pop("swe")
     old_tree.pop("h2osoi_ice")
+    old_tree.pop("snowpack")
     ckpt = Checkpointer(str(tmp_path / "ckpt_old"))
     ckpt.manager.save(1904, args=ocp.args.StandardSave(old_tree))
     ckpt.wait()
@@ -225,6 +227,9 @@ def test_checkpoint_schema_migration(tmp_path, layer_grid):
     assert restored.swe.shape == state.swe.shape
     np.testing.assert_array_equal(np.asarray(restored.swe), 0.0)
     np.testing.assert_array_equal(np.asarray(restored.h2osoi_ice), 0.0)
+    assert restored.snowpack.swe_surf.shape == state.swe.shape
+    np.testing.assert_array_equal(np.asarray(restored.snowpack.w_liq),
+                                  0.0)
     ckpt.close()
 
 

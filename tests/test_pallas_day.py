@@ -55,9 +55,9 @@ def test_pallas_day_via_day_step_flag():
     orig = pd.pallas_hydrology_day
 
     def interp(soil, veg, params_, forcing_, geom_, dt, nisurf,
-               block=1024, interpret=False, imp=None):
+               block=1024, interpret=False, imp=None, **kw):
         return orig(soil, veg, params_, forcing_, geom_, dt, nisurf,
-                    block=min(block, 256), interpret=True, imp=imp)
+                    block=min(block, 256), interpret=True, imp=imp, **kw)
 
     pd.pallas_hydrology_day = interp
     try:
