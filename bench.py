@@ -63,6 +63,7 @@ def main() -> None:
     zd09_every = int(os.environ.get("H9_BENCH_ZD09", str(cfg.zd09_every)))
 
     mesh = None
+    per_device = n_cells
     if shard:
         from hybrid9_tpu.parallel.sharding import CellSharding
         cs = CellSharding.create()
@@ -71,10 +72,18 @@ def main() -> None:
         forcing = cs.put(forcing)
         params = cs.put(params)
         mesh = cs.mesh
+        per_device = n_cells // cs.n_devices
+
+    # Largest VMEM tile that divides the per-device cell count (the
+    # sharded kernel runs on local shards, so 1024 only works when
+    # per_device is a multiple of it).
+    pallas_block = next(b for b in (1024, 512, 256, 128, per_device)
+                        if per_device % b == 0)
 
     step = jax.jit(
         lambda s, f: day_step(s, f, params, geom, cfg.dt, cfg.nisurf,
-                              use_pallas=use_pallas, pallas_block=1024,
+                              use_pallas=use_pallas,
+                              pallas_block=pallas_block,
                               mesh=mesh if use_pallas else None,
                               zd09_every=zd09_every))
 

@@ -180,6 +180,14 @@ class Config:
                                       # "twolayer" (cold content, liquid
                                       # retention/refreeze, ripening).
     snow_ddf: float = 3.0             # Degree-day melt factor (mm/K/day).
+    snow_albedo: bool = True          # Snow-albedo radiative feedback:
+                                      # blend the 0.92 bare-ground SW
+                                      # absorptivity toward (1 -
+                                      # snow_alpha) by fractional snow
+                                      # cover, collapsing Rnet/PAR/ET
+                                      # over snow (step.snow_absorptivity).
+    snow_alpha: float = 0.70          # Snow shortwave albedo (-).
+    snow_masking_swe: float = 10.0    # SWE at 50% snow cover (mm).
     frozen_soil: bool = True          # Frozen-ground hydraulic impedance
                                       # from the prognostic temperature
                                       # column (soiltemp.freeze_impedance).
@@ -189,6 +197,13 @@ class Config:
                                       # conservative) and impedance from
                                       # the true ice fraction.  False =
                                       # temperature-ramp proxy only.
+    carbon: bool = True               # Soil-carbon cascade (physics/
+                                      # carbon.py): litter + fast/slow
+                                      # SOM pools, Q10/moisture-modified
+                                      # decomposition, heterotrophic
+                                      # respiration and NEE diagnostics.
+                                      # Needs vegetation=True to have
+                                      # litter input.
     vegetation: bool = True           # Daily GROW dynamics; False =
                                       # hydrology-only mode (LAI/roots
                                       # frozen at initial values;

@@ -92,9 +92,27 @@ def load_soil(cfg, dtype=jnp.float32,
         from .soil_raw import prepare_soil
         soil_path = soil_path or os.path.join(cfg.output_path,
                                               "soil_prep.nc")
-        prepare_soil(cfg.soil_hwsd_path, cfg.soil_bnu_dir, soil_path,
-                     n_layers=cfg.layer_grid().nsoil,
-                     fmax_path=cfg.soil_fmax_path)
+        # Multi-host: exactly one process runs the (expensive) raw
+        # regrid; the rest wait for the atomically-published product
+        # (write_grid_file publishes via tmp+rename, so a visible file
+        # is always complete).  The reference serialized exactly this
+        # kind of shared-file access with its MPI token ring
+        # (INIT.f90:167-244).
+        import jax
+        if jax.process_index() == 0:
+            prepare_soil(cfg.soil_hwsd_path, cfg.soil_bnu_dir, soil_path,
+                         n_layers=cfg.layer_grid().nsoil,
+                         fmax_path=cfg.soil_fmax_path)
+        else:
+            import time as _time
+            deadline = _time.monotonic() + 3600.0
+            t_start = _time.time()
+            while not (os.path.exists(soil_path)
+                       and os.path.getmtime(soil_path) >= t_start - 60.0):
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"waiting for process 0 to write {soil_path}")
+                _time.sleep(1.0)
     if cfg.soil_source in ("netcdf", "raw") and soil_path:
         from ..io import netcdf as nc
         fields = nc.read_grid_file(

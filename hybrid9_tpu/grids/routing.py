@@ -176,6 +176,21 @@ def flow_accumulation(grid: LandGrid, downstream: np.ndarray
     return acc.astype(np.float32)
 
 
+def slope_from_accumulation(acc_area_m2: np.ndarray, k: float = 0.05,
+                            theta: float = 0.45) -> np.ndarray:
+    """Channel slope from drainage area by Flint's law, S = k * A^-theta.
+
+    The slope estimator for flow-direction-only network files (no DEM):
+    slope-area scaling is the standard channel-profile relation
+    (theta ~ 0.4-0.5 for alluvial rivers), so big rivers get gentle
+    slopes and headwaters steep ones — physically ordered, unlike any
+    constant or synthetic fallback.  Clipped to the same [1e-5, 0.1]
+    band as :func:`reach_slope`.
+    """
+    a_km2 = np.maximum(np.asarray(acc_area_m2, np.float64) / 1.0e6, 1.0)
+    return np.clip(k * a_km2 ** (-theta), 1e-5, 0.1).astype(np.float32)
+
+
 def bankfull_width_m(acc_area_m2: np.ndarray, a: float = 0.5,
                      w_min: float = 5.0, w_max: float = 3000.0
                      ) -> np.ndarray:
@@ -243,6 +258,46 @@ _ESRI_D8 = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
             16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
 
 
+def _break_cycles(down: np.ndarray, outlet: int) -> int:
+    """Redirect members of directed cycles to the outlet, in place.
+
+    User flow-direction products (raw/unconditioned D8) can contain
+    2+-cell cycles (e.g. two sink cells pointing at each other), which
+    a steepest-descent build cannot.  Cycles would trap routed water
+    forever and break the Kahn accumulation pass (everything downstream
+    of a cycle is silently dropped from drainage areas).  Standard
+    functional-graph colouring: walk each unvisited chain; a node met
+    twice on the current walk closes a cycle, and exactly its cycle
+    members are redirected to the outlet (their downstream chains keep
+    real topology).  Returns the number of redirected cells.
+    """
+    n = len(down)
+    color = np.zeros(n, np.int8)        # 0 new, 1 on current walk, 2 done
+    n_broken = 0
+    pos = np.full(n, -1, np.int64)      # position on the current walk
+    for s in range(n):
+        if color[s]:
+            continue
+        path = []
+        v = s
+        while True:
+            if v >= n or v == outlet or (v < n and color[v] == 2):
+                break
+            if color[v] == 1:           # closed a cycle at pos[v]
+                for u in path[pos[v]:]:
+                    down[u] = outlet
+                    n_broken += 1
+                break
+            color[v] = 1
+            pos[v] = len(path)
+            path.append(v)
+            v = down[v]
+        for u in path:
+            color[u] = 2
+            pos[u] = -1
+    return n_broken
+
+
 def downstream_from_flowdir(grid: LandGrid,
                             flowdir: np.ndarray) -> np.ndarray:
     """Packed downstream index from an ESRI-coded D8 direction field.
@@ -282,6 +337,12 @@ def downstream_from_flowdir(grid: LandGrid,
         down[sel] = cand
     self_loop = down == np.arange(grid.n_land)
     down[self_loop] = grid.n_padded
+    n_broken = _break_cycles(down, grid.n_padded)
+    if n_broken:
+        import logging
+        logging.getLogger(__name__).warning(
+            "flowdir network contained directed cycles: %d cell(s) "
+            "redirected to the ocean outlet", n_broken)
 
     downstream = np.full(grid.n_padded, grid.n_padded, np.int64)
     downstream[:grid.n_land] = down

@@ -31,7 +31,10 @@ def _fill_from_raw(template, raw):
 
     Leaves present in ``raw`` are cast to the template leaf's dtype;
     leaves absent from ``raw`` (fields added after the checkpoint was
-    written) are zero-filled.  Returns ``(state, n_missing)``.
+    written) take the template's value — the caller passes a
+    fresh-initial-state template, so new fields restore to their
+    physical defaults (e.g. snowpack temperatures at freezing), not to
+    zero.  Returns ``(state, n_missing)``.
     """
     import jax.numpy as jnp
 
@@ -52,7 +55,7 @@ def _fill_from_raw(template, raw):
     for path, leaf in paths_and_leaves:
         val = lookup(path, raw)
         if val is None:
-            val = jnp.zeros_like(leaf)
+            val = jnp.asarray(leaf)       # template default, not zero
             n_missing += 1
         else:
             val = jnp.asarray(val, leaf.dtype)
@@ -88,8 +91,9 @@ class Checkpointer:
         ``template`` provides shapes/dtypes/shardings for the restored
         pytree (abstract restore works across device topologies).  When
         the stored tree predates a state-schema extension (e.g. the
-        addition of ``swe``/``h2osoi_ice``), the missing fields are
-        filled with zeros from the template instead of failing.
+        addition of ``swe``/``h2osoi_ice``/``snowpack``), the missing
+        fields take the template's values (pass a fresh initial state
+        so they restore to physical defaults) instead of failing.
         """
         step = year if year is not None else self.manager.latest_step()
         if step is None:
@@ -101,12 +105,12 @@ class Checkpointer:
                 step, args=ocp.args.StandardRestore(abstract))
         except (ValueError, KeyError) as e:
             log.warning("strict restore failed (%s); migrating schema "
-                        "with zero-filled missing fields", e)
+                        "with template-filled missing fields", e)
             raw = self.manager.restore(
                 step, args=ocp.args.StandardRestore())
             state, n_missing = _fill_from_raw(template, raw)
-            log.warning("schema migration: %d field(s) zero-filled",
-                        n_missing)
+            log.warning("schema migration: %d field(s) filled from the "
+                        "template", n_missing)
         log.info("restored checkpoint for year %d", step)
         return int(step), state
 

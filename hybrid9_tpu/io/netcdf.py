@@ -90,7 +90,11 @@ def write_grid_file(path: str, fields: Dict[str, np.ndarray],
     if not HAVE_SCIPY_NETCDF:
         raise RuntimeError("scipy unavailable: cannot write NetCDF")
     units = units or {}
-    with _scipy_netcdf(path, "w") as f:
+    # Atomic publish: write to a sibling tmp then rename, so concurrent
+    # readers (other hosts on a shared filesystem) never see a
+    # half-written file.
+    tmp = path + ".tmp"
+    with _scipy_netcdf(tmp, "w") as f:
         f.createDimension("longitude", lon.shape[0])
         f.createDimension("latitude", lat.shape[0])
         if layer_dim:
@@ -116,6 +120,8 @@ def write_grid_file(path: str, fields: Dict[str, np.ndarray],
             v._FillValue = FILL_VALUE
             if name in units:
                 v.units = units[name]
+    import os
+    os.replace(tmp, path)
 
 
 def read_grid_file(path: str, names: Sequence[str]

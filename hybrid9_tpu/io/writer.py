@@ -40,6 +40,9 @@ ANNUAL_UNITS = {
     "theta": "m3 m-3",
     "swe": "mm",
     "soil_ice": "mm",
+    "rh": "g[C] m-2 yr-1",
+    "nee": "g[C] m-2 yr-1",
+    "c_soil": "g[C] m-2",
     "max_abs_residual": "mm",
 }
 
@@ -132,6 +135,12 @@ class ShardedAnnualWriter:
         self.stitch = stitch
         self.stitch_timeout = stitch_timeout
         os.makedirs(output_path, exist_ok=True)
+        # Stale-part guard: only parts written during THIS run (mtime
+        # after construction) count toward a stitch — leftovers from a
+        # crashed or differently-configured earlier run into the same
+        # output_path must never be mixed into a fresh global file.
+        import time as _time
+        self._t0 = _time.time() - 1.0   # 1 s clock slack
 
     def _part_path(self, year: int, pid: int) -> str:
         return os.path.join(self.output_path, f"axy{year}.part{pid}.nc")
@@ -173,21 +182,37 @@ class ShardedAnnualWriter:
         return path
 
     def stitch_year(self, year: int) -> str:
-        """Assemble part files into the global axy<year>.nc (primary)."""
+        """Assemble part files into the global axy<year>.nc (primary).
+
+        Only parts written during this run are accepted (mtime check);
+        consumed parts are deleted after a successful stitch so reruns
+        into the same directory cannot silently mix simulations.
+        """
         import time as _time
         from scipy.io import netcdf_file
         paths = [self._part_path(year, p) for p in range(self.np_)]
+
+        def fresh(p):
+            try:
+                return os.path.getmtime(p) >= self._t0
+            except OSError:
+                return False
+
         deadline = _time.monotonic() + self.stitch_timeout
-        while not all(os.path.exists(p) for p in paths):
+        while not all(fresh(p) for p in paths):
             if _time.monotonic() > deadline:
-                missing = [p for p in paths if not os.path.exists(p)]
+                missing = [p for p in paths if not fresh(p)]
                 raise TimeoutError(
-                    f"stitch axy{year}: missing parts {missing}")
+                    f"stitch axy{year}: missing/stale parts {missing}")
             _time.sleep(0.2)
         packed: Dict[str, np.ndarray] = {}
         for p in paths:
             with netcdf_file(p, "r", mmap=False) as f:
                 lo, hi = int(f.cell_start), int(f.cell_stop)
+                if int(f.n_parts) != self.np_:
+                    raise ValueError(
+                        f"{p}: written for {int(f.n_parts)} processes, "
+                        f"this run has {self.np_}")
                 for name, var in f.variables.items():
                     arr = np.asarray(var[:])
                     if name not in packed:
@@ -204,6 +229,11 @@ class ShardedAnnualWriter:
                 layer_dim = arr.shape[1]
         netcdf.write_grid_file(path, fields, self.grid.lon, self.grid.lat,
                                units=ANNUAL_UNITS, layer_dim=layer_dim)
+        for p in paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         log.info("stitched %s from %d parts (%d fields)", path, self.np_,
                  len(fields))
         return path
@@ -219,8 +249,9 @@ class FocusCSVWriter:
     """
 
     COLUMNS = ("year", "doy", "tas", "pr", "rsds", "evap", "evap_grnd",
-               "rnf", "discharge", "npp", "zwt", "wa", "lai",
-               "plant_mass", "theta_mean", "t_surf", "swe", "residual")
+               "rnf", "discharge", "npp", "rh", "nee", "zwt", "wa",
+               "lai", "plant_mass", "theta_mean", "t_surf", "swe",
+               "residual")
 
     def __init__(self, output_path: str):
         os.makedirs(output_path, exist_ok=True)

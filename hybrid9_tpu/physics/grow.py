@@ -27,7 +27,8 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
       tas: ``[n]`` daily air temperature (K).
       zi: ``[10]`` static interface depths (mm).
 
-    Returns the updated state and daily NPP (g DM/day, ``[n]``).
+    Returns ``(state, npp, litterfall)``: daily NPP and the realized
+    plant-mass loss to litter (both g DM/day, ``[n]``).
     """
     nl = smp.shape[1]
     zi = jnp.asarray(zi, smp.dtype) if not isinstance(zi, jnp.ndarray) \
@@ -96,4 +97,13 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
         lai_litter=lai_litter,
         rootr=rootr,
     )
-    return new_veg, npp
+    # Litterfall: the mass the plant pools actually lost today
+    # (maintenance + foliage turnover/drought shed, GROW.f90:120-146),
+    # g DM/day, computed from the realized pool updates so the
+    # seed-bank floors cannot make litter exceed the mass that left the
+    # plant.  The reference drops these losses on the floor; the carbon
+    # subsystem (physics/carbon.py) routes them into the litter pool.
+    litterfall = (jnp.maximum(0.0, veg.plant_mass + grow_pm - plant_mass)
+                  + jnp.maximum(0.0, veg.plant_foliage_mass + grow_fm
+                                - plant_foliage_mass))
+    return new_veg, npp, litterfall

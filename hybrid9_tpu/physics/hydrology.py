@@ -52,15 +52,20 @@ class Geometry(NamedTuple):
         )
 
 
-def derive_forcing(f: Forcing) -> Dict[str, jnp.ndarray]:
+def derive_forcing(f: Forcing, sw_abs=None) -> Dict[str, jnp.ndarray]:
     """Daily forcing scalars derived by the driver (HYBRID9.f90:168-189).
 
     Net radiation with 8 % shortwave albedo, PAR conversion, rain flux and
     the latent heat of vaporisation (Pereira da Silva 2012 Eqn 4).
+    ``sw_abs`` optionally overrides the constant 0.92 shortwave
+    absorptivity with a per-cell value (the snow-albedo feedback,
+    step.snow_absorptivity — a new capability; the reference has no
+    snow at all).
     """
+    a = 0.92 if sw_abs is None else sw_abs
     tak = f.tas
-    rnet = 0.92 * f.rsds + f.rlds - c.STBO * f.tas ** 4
-    par = 0.92 * f.rsds * 2.3
+    rnet = a * f.rsds + f.rlds - c.STBO * f.tas ** 4
+    par = a * f.rsds * 2.3
     forc_rain = 1.0e3 * f.pr / c.RHOW
     lamb = (2503.0 - 2.386 * (tak - c.TF)) * 1.0e3
     return dict(tak=tak, rh=f.rhs, rnet=rnet, par=par,

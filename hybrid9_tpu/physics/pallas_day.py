@@ -134,7 +134,7 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
                          forcing: Forcing, geom: Geometry, dt: float,
                          nisurf: int, block: int = 2048,
                          interpret: bool = False, imp=None,
-                         zd09_every: int = 1
+                         zd09_every: int = 1, sw_abs=None
                          ) -> Tuple[SoilState, Dict[str, jnp.ndarray]]:
     """Run ``nisurf`` hydrology substeps for one day via the Pallas kernel.
 
@@ -150,7 +150,7 @@ def pallas_hydrology_day(soil: SoilState, veg, params: SoilParams,
     if n % block:
         raise ValueError(f"cell count {n} not divisible by block {block}")
     dtype = soil.h2osoi_liq.dtype
-    fd = derive_forcing(forcing)
+    fd = derive_forcing(forcing, sw_abs)
 
     # Layer-major [nl, n] views so each layer row is a contiguous block.
     t = lambda x: x.T
@@ -215,7 +215,7 @@ def pallas_hydrology_day_sharded(soil: SoilState, veg, params: SoilParams,
                                  dt: float, nisurf: int, mesh,
                                  axis: str = "cells", block: int = 1024,
                                  interpret: bool = False, imp=None,
-                                 zd09_every: int = 1):
+                                 zd09_every: int = 1, sw_abs=None):
     """Multi-chip variant: shard_map the day kernel over the cell axis.
 
     Every input/output is partitioned on its leading (cell) axis; each
@@ -233,16 +233,22 @@ def pallas_hydrology_day_sharded(soil: SoilState, veg, params: SoilParams,
         return P(axis, *([None] * (nd - 1)))
 
     args = (soil, veg, params, forcing)
-    if imp is not None:
+    has_imp = imp is not None
+    has_abs = sw_abs is not None
+    if has_imp:
         args = args + (imp,)
+    if has_abs:
+        args = args + (sw_abs,)
     in_specs = jax.tree_util.tree_map(spec_of, args)
 
-    def local_fn(soil_l, veg_l, params_l, forcing_l, *imp_l):
+    def local_fn(soil_l, veg_l, params_l, forcing_l, *rest):
+        rest = list(rest)
+        imp_l = rest.pop(0) if has_imp else None
+        abs_l = rest.pop(0) if has_abs else None
         return pallas_hydrology_day(soil_l, veg_l, params_l, forcing_l,
                                     geom, dt, nisurf, block=block,
-                                    interpret=interpret,
-                                    imp=imp_l[0] if imp_l else None,
-                                    zd09_every=zd09_every)
+                                    interpret=interpret, imp=imp_l,
+                                    zd09_every=zd09_every, sw_abs=abs_l)
 
     out_shape = jax.eval_shape(local_fn, *args)
     out_specs = jax.tree_util.tree_map(spec_of, out_shape)

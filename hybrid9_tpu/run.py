@@ -78,7 +78,8 @@ class Simulation:
         if cfg.lateral_routing and land_grid is not None:
             from .grids.routing import (bankfull_width_m, cell_area_m2,
                                         flow_accumulation, flow_length_m,
-                                        load_network, reach_slope)
+                                        load_network, reach_slope,
+                                        slope_from_accumulation)
             from .physics.routing import (KinematicParams,
                                           MuskingumParams, RoutingParams)
             down_np, elev = load_network(land_grid,
@@ -92,13 +93,26 @@ class Simulation:
 
             downstream = _put(down_np, jnp.int32)
             if cfg.routing_scheme == "muskingum":
+                acc = flow_accumulation(land_grid, down_np)
+                if elev is None and cfg.routing_network_path is not None:
+                    # Flow-direction-only file: no DEM to take reach
+                    # drops from.  Synthetic elevation would fabricate
+                    # slopes uncorrelated with the real topology; use
+                    # the slope-area relation on the real network
+                    # instead (grids/routing.slope_from_accumulation).
+                    log.warning(
+                        "%s has no 'elevation': Muskingum reach slopes "
+                        "estimated from drainage area (Flint's law)",
+                        cfg.routing_network_path)
+                    slope_np = slope_from_accumulation(acc)
+                else:
+                    slope_np = reach_slope(land_grid, down_np,
+                                           elevation=elev)
                 self.routing = MuskingumParams(
                     downstream=downstream,
                     flow_length=_put(flow_length_m(land_grid, down_np)),
-                    slope=_put(reach_slope(land_grid, down_np,
-                                           elevation=elev)),
-                    width=_put(bankfull_width_m(
-                        flow_accumulation(land_grid, down_np))),
+                    slope=_put(slope_np),
+                    width=_put(bankfull_width_m(acc)),
                     cell_area=_put(cell_area_m2(land_grid)),
                     n_substeps=cfg.routing_substeps,
                     n_manning=cfg.routing_manning)
@@ -117,6 +131,7 @@ class Simulation:
             self.lateral = make_lateral_params(land_grid,
                                                k_lat=cfg.lateral_k)
         self.snow = None
+        self.snow_albedo = None
         if cfg.snow:
             if cfg.snow_scheme == "twolayer":
                 from .physics.snow import TwoLayerSnowParams
@@ -124,6 +139,9 @@ class Simulation:
             else:
                 from .physics.snow import SnowParams
                 self.snow = SnowParams(ddf=cfg.snow_ddf)
+            if cfg.snow_albedo:
+                self.snow_albedo = (float(cfg.snow_alpha),
+                                    float(cfg.snow_masking_swe))
         # INTERACTIVE mode: daily CSV diagnostics for one focus cell
         # (the reference's single-point debug mode, INIT.f90:220-236,
         # HYBRID9.f90:221-229).
@@ -186,7 +204,9 @@ class Simulation:
                 soil_ice=cfg.frozen_soil and cfg.soil_ice,
                 mesh=self.mesh if self.use_pallas else None,
                 pallas_interpret=cfg.pallas_interpret,
-                zd09_every=cfg.zd09_every)
+                zd09_every=cfg.zd09_every,
+                snow_albedo=self.snow_albedo,
+                carbon=cfg.carbon and cfg.vegetation)
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 if self.focus_writer is not None:

@@ -404,7 +404,7 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
                 ft_cool = jnp.clip(
                     1.0 - (jnp.abs(d - 18.0) / 25.0) ** 2, 0.0, 1.0)
                 f_t = jnp.where(d > 18.0, ft_warm, ft_cool)
-                veg, _npp = grow_daily(veg, soil.smp, tas, zi_arr)
+                veg, _npp, _lf = grow_daily(veg, soil.smp, tas, zi_arr)
             else:
                 w_i = z
                 f_t = z

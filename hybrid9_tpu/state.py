@@ -101,14 +101,35 @@ class SnowpackState:
     swe_surf: jax.Array   # [n] Surface-layer SWE (ice)              (mm)
     swe_base: jax.Array   # [n] Base-layer SWE (ice)                 (mm)
     w_liq: jax.Array      # [n] Retained liquid water                (mm)
-    t_surf: jax.Array     # [n] Surface-layer temperature  (K, <= 273.15)
-    t_base: jax.Array     # [n] Base-layer temperature     (K, <= 273.15)
+    t_surf: jax.Array     # [n] Surface-layer temperature      (K, <= TF)
+    t_base: jax.Array     # [n] Base-layer temperature         (K, <= TF)
 
     @classmethod
     def zeros(cls, n: int, dtype=jnp.float32) -> "SnowpackState":
         z = jnp.zeros((n,), dtype)
         tf = jnp.full((n,), c.TF, dtype)
         return cls(swe_surf=z, swe_base=z, w_liq=z, t_surf=tf, t_base=tf)
+
+
+@struct.dataclass
+class CarbonState:
+    """Soil-carbon pools (physics/carbon.py; g C/m^2, ``[n]``).
+
+    New subsystem beyond the reference, which titles itself a water &
+    carbon model but has no soil carbon (SURVEY.md C15).  Initial pool
+    sizes are modest mid-latitude values; multi-decade spin-up brings
+    them toward equilibrium with the local NPP/climate.
+    """
+
+    c_litter: jax.Array     # [n] Litter carbon                 (g C/m^2)
+    c_soil_fast: jax.Array  # [n] Fast SOM (~10 yr turnover)    (g C/m^2)
+    c_soil_slow: jax.Array  # [n] Slow SOM (~100 yr turnover)   (g C/m^2)
+
+    @classmethod
+    def initial(cls, n: int, dtype=jnp.float32) -> "CarbonState":
+        return cls(c_litter=jnp.full((n,), 100.0, dtype),
+                   c_soil_fast=jnp.full((n,), 1000.0, dtype),
+                   c_soil_slow=jnp.full((n,), 5000.0, dtype))
 
 
 @struct.dataclass
@@ -136,6 +157,7 @@ class ModelState:
     swe: jax.Array            # [n] Snow water equivalent            (mm)
     h2osoi_ice: jax.Array     # [n, nl] Soil ice per layer           (mm)
     snowpack: SnowpackState   # Two-layer pack detail (zeros if unused)
+    carbon: CarbonState       # Soil-carbon pools (physics/carbon.py)
 
 
 @struct.dataclass
@@ -201,6 +223,9 @@ class AnnualAccumulators:
     h2osoi_total_sum: jax.Array  # [n] Total column water              (mm)
     swe_sum: jax.Array          # [n] Snow water equivalent            (mm)
     ice_sum: jax.Array          # [n] Total column soil ice            (mm)
+    rh_sum: jax.Array           # [n] Heterotrophic respiration (g C/m^2)
+    nee_sum: jax.Array          # [n] Net ecosystem exchange    (g C/m^2)
+    c_soil_sum: jax.Array       # [n] Total soil+litter carbon  (g C/m^2)
     n_days: jax.Array           # [] Days accumulated                   (-)
     max_abs_residual: jax.Array  # [n] Max |water-balance residual|    (mm)
 
@@ -217,6 +242,9 @@ class AnnualAccumulators:
             h2osoi_total_sum=z,
             swe_sum=z,
             ice_sum=z,
+            rh_sum=z,
+            nee_sum=z,
+            c_soil_sum=z,
             n_days=jnp.zeros((), dtype),
             max_abs_residual=z,
         )
@@ -287,4 +315,5 @@ def initial_state(params: SoilParams, dz_mm: np.ndarray, zi_mm: np.ndarray,
                       t_soil=jnp.full((n, nsoil), 283.15, dtype),
                       swe=jnp.zeros((n,), dtype),
                       h2osoi_ice=jnp.zeros((n, nsoil), dtype),
-                      snowpack=SnowpackState.zeros(n, dtype))
+                      snowpack=SnowpackState.zeros(n, dtype),
+                      carbon=CarbonState.initial(n, dtype))

@@ -27,13 +27,29 @@ from .state import (AnnualAccumulators, Forcing, ModelState,
                     SoilParams)
 
 
+def snow_absorptivity(swe: jnp.ndarray, alpha_snow: float = 0.70,
+                      swe_half: float = 10.0) -> jnp.ndarray:
+    """Per-cell shortwave absorptivity under partial snow cover.
+
+    New capability beyond the reference (which has no snow): blends the
+    bare-ground 0.92 absorptivity (HYBRID9.f90:168-174's constant) with
+    a snow absorptivity ``1 - alpha_snow`` by the CLM-style fractional
+    snow cover ``f = swe / (swe + swe_half)`` — a deep pack reflects
+    ~70 % of the shortwave, collapsing Rnet/PAR and with them ET and
+    ground heat over snow, the dominant winter radiative feedback.
+    """
+    fsno = swe / (swe + swe_half)
+    return 0.92 * (1.0 - fsno) + (1.0 - alpha_snow) * fsno
+
+
 def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              geom: Geometry, dt: float, nisurf: int,
              use_pallas: bool = False, pallas_block: int = 1024,
              routing=None, lateral=None, snow=None, freeze: bool = False,
              vegetation: bool = True, soil_ice: bool = False,
              mesh=None, pallas_interpret: bool = False,
-             zd09_every: int = 1
+             zd09_every: int = 1, snow_albedo=None,
+             carbon: bool = False
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -53,10 +69,32 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     swe = state.swe
     snowpack = state.snowpack
     snow_capped = None
+    # Snow-albedo feedback: shortwave absorptivity from the day-start
+    # pack (snow on the ground during the day reflects SW, collapsing
+    # Rnet/PAR/ET).  ``snow_albedo`` is (alpha_snow, swe_half) or None.
+    sw_abs = None
+    if snow is not None and snow_albedo is not None:
+        sw_abs = snow_absorptivity(state.swe, *snow_albedo)
     if snow is not None:
         from .physics.snow import (TwoLayerSnowParams, snow_step,
                                    snow_step_two_layer)
         if isinstance(snow, TwoLayerSnowParams):
+            # state.swe is the authoritative water store across scheme
+            # switches (it mirrors the pack total while this scheme
+            # runs): reconcile the pack to it so resuming a degree-day
+            # checkpoint under "twolayer" banks the legacy SWE in the
+            # base layer instead of deleting it, and a shrunken swe
+            # cannot resurrect stale pack water.  When the scheme ran
+            # last day, total == swe exactly and this is a no-op.
+            total = (snowpack.swe_surf + snowpack.swe_base
+                     + snowpack.w_liq)
+            scale = jnp.where(total > 0.0,
+                              swe / jnp.maximum(total, 1.0e-12), 0.0)
+            snowpack = snowpack.replace(
+                swe_surf=snowpack.swe_surf * scale,
+                swe_base=snowpack.swe_base * scale
+                + jnp.where(total > 0.0, 0.0, swe),
+                w_liq=snowpack.w_liq * scale)
             snowpack, pr_eff, _melt, snow_capped = snow_step_two_layer(
                 snowpack, forcing.tas, forcing.pr, snow)
             # swe mirrors the pack total so accumulators/output are
@@ -86,14 +124,15 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
                 state.soil, state.veg, params, forcing, geom, dt, nisurf,
                 mesh=mesh, axis=mesh.axis_names[0], block=pallas_block,
                 interpret=pallas_interpret, imp=imp,
-                zd09_every=zd09_every)
+                zd09_every=zd09_every, sw_abs=sw_abs)
         else:
             from .physics.pallas_day import pallas_hydrology_day
             soil, pd = pallas_hydrology_day(
                 state.soil, state.veg, params, forcing, geom, dt, nisurf,
                 block=pallas_block, interpret=pallas_interpret, imp=imp,
-                zd09_every=zd09_every)
-        veg, npp = _grow(state.veg, soil, forcing, geom, vegetation)
+                zd09_every=zd09_every, sw_abs=sw_abs)
+        veg, npp, litterfall = _grow(state.veg, soil, forcing, geom,
+                                     vegetation)
         diags = dict(evap_day=pd["evap_day"],
                      evap_grnd_day=pd["evap_grnd_day"],
                      rnf_day=pd["rnf_day"],
@@ -104,12 +143,16 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         river, diags = _route(state.river_store, diags, routing)
         soil = _lateral(soil, lateral)
         t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
-                                          geom, soil_ice)
+                                          geom, soil_ice, sw_abs)
+        cstate, rh, nee = _carbon(state.carbon, npp, litterfall, t_soil,
+                                  soil, params, geom, carbon)
+        diags["rh"] = rh
+        diags["nee"] = nee
         return ModelState(soil=soil, veg=veg, river_store=river,
                           t_soil=t_soil, swe=swe, h2osoi_ice=ice,
-                          snowpack=snowpack), diags
+                          snowpack=snowpack, carbon=cstate), diags
 
-    fd = derive_forcing(forcing)
+    fd = derive_forcing(forcing, sw_abs)
     veg = state.veg
     n = forcing.tas.shape[0]
     dtype = forcing.tas.dtype
@@ -168,7 +211,7 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         (soil, evap_day, evap_grnd_day, rnf_day, max_res), _ = \
             jax.lax.scan(substep, carry0, None, length=nisurf)
 
-    veg, npp = _grow(veg, soil, forcing, geom, vegetation)
+    veg, npp, litterfall = _grow(veg, soil, forcing, geom, vegetation)
 
     diags = dict(
         evap_day=evap_day,
@@ -182,19 +225,43 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     river, diags = _route(state.river_store, diags, routing)
     soil = _lateral(soil, lateral)
     t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
-                                      geom, soil_ice)
+                                      geom, soil_ice, sw_abs)
+    cstate, rh, nee = _carbon(state.carbon, npp, litterfall, t_soil,
+                              soil, params, geom, carbon)
+    diags["rh"] = rh
+    diags["nee"] = nee
     return ModelState(soil=soil, veg=veg, river_store=river,
                       t_soil=t_soil, swe=swe, h2osoi_ice=ice,
-                      snowpack=snowpack), diags
+                      snowpack=snowpack, carbon=cstate), diags
 
 
 def _grow(veg, soil, forcing, geom, vegetation: bool):
     """Daily vegetation update, or a no-op in hydrology-only mode
     (BASELINE.json config 2: global hydrology without vegetation —
-    LAI/roots stay at their prescribed initial values)."""
+    LAI/roots stay at their prescribed initial values).  Returns
+    ``(veg, npp, litterfall)``."""
     if vegetation:
         return grow_daily(veg, soil.smp, forcing.tas, geom.zi)
-    return veg, jnp.zeros_like(veg.lai)
+    z = jnp.zeros_like(veg.lai)
+    return veg, z, z
+
+
+def _carbon(carbon_state, npp, litterfall, t_soil, soil, params, geom,
+            enabled: bool):
+    """Daily soil-carbon cascade (physics/carbon.py), or a no-op.
+
+    Runs on the END-of-day soil temperature and moisture (the same
+    lagged-coupling convention as GROW's smp input, GROW.f90:57).
+    Returns ``(carbon', rh, nee)``.
+    """
+    if not enabled:
+        z = jnp.zeros_like(npp)
+        return carbon_state, z, z
+    from .physics.carbon import carbon_daily
+    dz = jnp.asarray(geom.dz_soil, soil.h2osoi_liq.dtype)
+    theta = soil.h2osoi_liq / (dz[None, :] * c.RHOW / 1.0e3)
+    return carbon_daily(carbon_state, npp, litterfall, t_soil, theta,
+                        params.theta_s)
 
 
 def _lateral(soil, lateral):
@@ -208,7 +275,7 @@ def _lateral(soil, lateral):
 
 
 def _soil_thermal(state, soil_new, params, forcing, geom,
-                  soil_ice: bool):
+                  soil_ice: bool, sw_abs=None):
     """Daily implicit soil-heat step driven by the SW85 ground heat flux
     G = 0.2 * Rnet * exp(-0.7 * LAI) (HYDROLOGY.f90:335-339), using the
     LAI in effect during the day's substeps, plus an implicit sensible
@@ -223,7 +290,8 @@ def _soil_thermal(state, soil_new, params, forcing, geom,
     ``(t_soil, soil, h2osoi_ice)``.
     """
     lai = state.veg.lai
-    rnet = (0.92 * forcing.rsds + forcing.rlds
+    a = 0.92 if sw_abs is None else sw_abs
+    rnet = (a * forcing.rsds + forcing.rlds
             - c.STBO * forcing.tas ** 4)
     g_flux = 0.2 * rnet * jnp.exp(-0.7 * lai)
     raa = jnp.where(lai <= 4.0,
@@ -294,6 +362,10 @@ def _accumulate(acc: AnnualAccumulators, state: ModelState,
         + jnp.sum(state.soil.h2osoi_liq, axis=-1),
         swe_sum=acc.swe_sum + state.swe,
         ice_sum=acc.ice_sum + jnp.sum(state.h2osoi_ice, axis=-1),
+        rh_sum=acc.rh_sum + diags["rh"],
+        nee_sum=acc.nee_sum + diags["nee"],
+        c_soil_sum=acc.c_soil_sum + state.carbon.c_litter
+        + state.carbon.c_soil_fast + state.carbon.c_soil_slow,
         n_days=acc.n_days + 1.0,
         max_abs_residual=jnp.maximum(acc.max_abs_residual,
                                      diags["max_abs_residual"]),
@@ -312,7 +384,8 @@ def _focus_row(state: ModelState, forcing: Forcing,
         tas=forcing.tas[idx], pr=forcing.pr[idx], rsds=forcing.rsds[idx],
         evap=diags["evap_day"][idx], evap_grnd=diags["evap_grnd_day"][idx],
         rnf=diags["rnf_day"][idx], discharge=diags["discharge"][idx],
-        npp=diags["npp"][idx], zwt=state.soil.zwt[idx],
+        npp=diags["npp"][idx], rh=diags["rh"][idx],
+        nee=diags["nee"][idx], zwt=state.soil.zwt[idx],
         wa=state.soil.wa[idx], lai=state.veg.lai[idx],
         plant_mass=state.veg.plant_mass[idx],
         theta_mean=h_tot / (dz_sum * c.RHOW / 1.0e3),
@@ -331,7 +404,8 @@ def _focus_row(state: ModelState, forcing: Forcing,
                                     "pallas_block", "focus_idx",
                                     "freeze", "vegetation", "soil_ice",
                                     "mesh", "pallas_interpret",
-                                    "zd09_every"))
+                                    "zd09_every", "snow_albedo",
+                                    "carbon"))
 def block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
@@ -339,7 +413,8 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
                snow=None, focus_idx=None, freeze: bool = False,
                vegetation: bool = True, soil_ice: bool = False,
                mesh=None, pallas_interpret: bool = False,
-               zd09_every: int = 1):
+               zd09_every: int = 1, snow_albedo=None,
+               carbon: bool = False):
     """Scan the day step over a ``[days, n]`` forcing block.
 
     This is the unit of compiled work: the host feeds one forcing block at
@@ -359,7 +434,8 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
                              lateral=lateral, snow=snow, freeze=freeze,
                              vegetation=vegetation, soil_ice=soil_ice,
                              mesh=mesh, pallas_interpret=pallas_interpret,
-                             zd09_every=zd09_every)
+                             zd09_every=zd09_every,
+                             snow_albedo=snow_albedo, carbon=carbon)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)
@@ -397,5 +473,8 @@ def annual_means(acc: AnnualAccumulators, nisurf: int
         theta_total=acc.h2osoi_total_sum / nt,
         swe=acc.swe_sum / nt,
         soil_ice=acc.ice_sum / nt,
+        rh=acc.rh_sum,               # annual sums, like npp
+        nee=acc.nee_sum,
+        c_soil=acc.c_soil_sum / nt,  # annual-mean store
         max_abs_residual=acc.max_abs_residual,
     )

@@ -41,7 +41,7 @@ def test_substep_conserves_water(layer_grid, geometry_np):
             return s2, jnp.abs(fx.residual)
 
         soil, res = jax.lax.scan(body, soil, None, length=nisurf)
-        veg, _ = grow_daily(veg, soil.smp, f.tas, geom.zi)
+        veg, _, _ = grow_daily(veg, soil.smp, f.tas, geom.zi)
         return soil, veg, jnp.max(res)
 
     worst = 0.0
@@ -87,7 +87,7 @@ def test_substep_conserves_water_f32(layer_grid, geometry_np):
             return s2, jnp.abs(fx.residual)
 
         soil, res = jax.lax.scan(body, soil, None, length=nisurf)
-        veg, _ = grow_daily(veg, soil.smp, f.tas, geom.zi)
+        veg, _, _ = grow_daily(veg, soil.smp, f.tas, geom.zi)
         return soil, veg, jnp.max(res)
 
     worst = 0.0

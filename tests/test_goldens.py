@@ -97,7 +97,7 @@ def test_vector_kernel_matches_golden(tag):
             return s2, None
 
         soil, _ = jax.lax.scan(body, soil, None, length=48)
-        veg, _ = grow_daily(veg, soil.smp, f.tas, geom.zi)
+        veg, _, _ = grow_daily(veg, soil.smp, f.tas, geom.zi)
         return soil, veg
 
     for dday in range(int(d["n_days"])):

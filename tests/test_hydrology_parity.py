@@ -162,7 +162,7 @@ def test_multiday_trajectory_parity(layer_grid, geometry_np):
             return s2, fx.residual
 
         soil, residuals = jax.lax.scan(body, soil, None, length=nisurf)
-        veg, npp = grow_daily(veg, soil.smp, f.tas, geom.zi)
+        veg, npp, _ = grow_daily(veg, soil.smp, f.tas, geom.zi)
         return soil, veg, npp, residuals
 
     for d in range(n_days):
@@ -202,7 +202,7 @@ def test_grow_parity(layer_grid):
     zi = layer_grid.zi
     op, os_, params, soil, veg = make_ensemble(n, seed, layer_grid)
     tas = np.linspace(250.0, 320.0, n)     # spans both fT branches
-    new_veg, npp = jax.jit(
+    new_veg, npp, _lf = jax.jit(
         lambda v, s, t: grow_daily(v, s, t, jnp.asarray(zi))
     )(veg, soil.smp, jnp.asarray(tas, jnp.float64))
     for i in range(n):

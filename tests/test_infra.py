@@ -230,6 +230,11 @@ def test_checkpoint_schema_migration(tmp_path, layer_grid):
     assert restored.snowpack.swe_surf.shape == state.swe.shape
     np.testing.assert_array_equal(np.asarray(restored.snowpack.w_liq),
                                   0.0)
+    # Missing fields take the TEMPLATE's physical defaults, not zeros:
+    # pack temperatures restore at freezing, not 0 K.
+    from hybrid9_tpu.physics import constants as c
+    np.testing.assert_allclose(np.asarray(restored.snowpack.t_surf),
+                               c.TF, rtol=1e-6)
     ckpt.close()
 
 

@@ -82,9 +82,10 @@ def test_two_process_run_matches_single(tmp_path):
         assert r.returncode == 0, \
             f"process {i} failed:\n{outs[i][-4000:]}"
 
-    # Each process wrote its own slab part, and the primary stitched.
+    # Each process wrote its own slab part; the primary stitched and
+    # consumed (deleted) the parts so reruns cannot mix stale slabs.
     for pid in range(2):
-        assert os.path.exists(
+        assert not os.path.exists(
             os.path.join(out_multi, f"axy1901.part{pid}.nc"))
     path_m = os.path.join(out_multi, "axy1901.nc")
     path_s = os.path.join(out_single, "axy1901.nc")

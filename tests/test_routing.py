@@ -548,3 +548,86 @@ def test_simulation_with_network_file(tmp_path):
     assert float(np.max(results[0]["max_abs_residual"][:grid.n_land])) \
         < 0.1
     assert float(np.sum(results[0]["discharge"])) > 0.0
+
+
+def test_flowdir_cycles_broken():
+    """A raw D8 product with a 2-cell cycle: the cycle members are
+    redirected to the outlet, the chain upstream of them keeps its real
+    topology, and flow accumulation sees every cell."""
+    from hybrid9_tpu.grids.routing import (downstream_from_flowdir,
+                                           flow_accumulation)
+
+    ny, nx = 4, 6
+    mask = np.zeros((ny, nx), bool)
+    mask[1, 1:5] = True          # chain of 4 cells
+    grid = make_land_grid(mask, 30.0, pad_multiple=8)
+    packed = {tuple(divmod(int(f), nx)): i
+              for i, f in enumerate(grid.land_idx)}
+
+    fd = np.zeros((ny, nx))
+    fd[1, 1] = 1                 # E -> (1, 2): real upstream topology
+    fd[1, 2] = 1                 # E -> (1, 3)
+    fd[1, 3] = 1                 # E -> (1, 4)   } 2-cell cycle
+    fd[1, 4] = 16                # W -> (1, 3)   }
+    down = downstream_from_flowdir(grid, fd)
+    # Upstream chain intact.
+    assert down[packed[(1, 1)]] == packed[(1, 2)]
+    assert down[packed[(1, 2)]] == packed[(1, 3)]
+    # Cycle members drain to the outlet.
+    cyc = {int(down[packed[(1, 3)]]), int(down[packed[(1, 4)]])}
+    assert cyc == {grid.n_padded}
+    # Kahn accumulation now reaches every cell: the cycle head's area
+    # includes the whole upstream chain.
+    acc = flow_accumulation(grid, down)
+    area = np.asarray(acc[:grid.n_land])
+    assert area[packed[(1, 3)]] >= 3 * area[packed[(1, 1)]] * 0.99
+
+
+def test_flowdir_only_slope_uses_flints_law(tmp_path):
+    """A network file with flowdir but NO elevation must not fabricate
+    Muskingum slopes from synthetic terrain: slopes follow the
+    slope-area relation on the real topology (big rivers flatter)."""
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.grids.grid import cell_centres
+    from hybrid9_tpu.grids.routing import (downstream_from_flowdir,
+                                           flow_accumulation,
+                                           slope_from_accumulation)
+    from hybrid9_tpu.io.netcdf import write_grid_file
+    from hybrid9_tpu.run import Simulation
+
+    cfg = Config(resolution_deg=12.0, cell_block=32,
+                 routing_scheme="muskingum", use_pallas=False)
+    grid, params = load_soil(cfg)
+    # Build a flowdir field from the synthetic topology, then strip the
+    # elevation so only the direction codes survive in the file.
+    from hybrid9_tpu.grids.routing import (build_downstream_index,
+                                           direction_codes,
+                                           synthetic_elevation)
+    land = np.zeros(grid.ny * grid.nx, bool)
+    land[grid.land_idx] = True
+    elev = synthetic_elevation(land.reshape(grid.ny, grid.nx), seed=0)
+    expect = build_downstream_index(grid, elevation=elev)
+    codes = direction_codes(grid, expect)
+    esri_of = {(-1, -1): 32, (-1, 0): 64, (-1, 1): 128, (0, -1): 16,
+               (0, 1): 1, (1, -1): 8, (1, 0): 4, (1, 1): 2}
+    d8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+          (1, 1)]
+    fd = np.zeros_like(codes, dtype=np.float64)
+    for k, off in enumerate(d8):
+        fd[codes == k] = esri_of[off]
+    lon, lat = cell_centres(cfg.resolution_deg)
+    path = str(tmp_path / "fd_only.nc")
+    write_grid_file(path, {"flowdir": fd}, lon, lat)
+
+    cfg = Config(**{**cfg.__dict__, "routing_network_path": path})
+    sim = Simulation(cfg, params, land_grid=grid)
+    got = np.asarray(sim.routing.slope)
+    down = downstream_from_flowdir(grid, fd)
+    want = slope_from_accumulation(flow_accumulation(grid, down))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Physically ordered: the largest-area cell is not steeper than the
+    # smallest-area one.
+    acc = np.asarray(flow_accumulation(grid, down)[:grid.n_land])
+    s = got[:grid.n_land]
+    assert s[np.argmax(acc)] <= s[np.argmin(acc)]

@@ -112,3 +112,81 @@ def test_capped_snow_routes_to_rivers(layer_grid):
                          snow=SnowParams())
     np.testing.assert_allclose(np.asarray(st.swe), 1000.0, rtol=1e-6)
     assert float(jnp.min(diags["rnf_day"])) >= 9.0   # ~9 mm overflow
+
+
+def test_snow_albedo_feedback(layer_grid):
+    """A deep pack collapses absorbed shortwave: with the snow-albedo
+    feedback on, a snow-covered cell evaporates far less than the same
+    cell with the feedback off, and a bare cell is unaffected."""
+    import __graft_entry__ as ge
+    from hybrid9_tpu.step import day_step, snow_absorptivity
+
+    # Absorptivity bounds: bare = 0.92, deep pack -> (1 - alpha_snow).
+    a = np.asarray(snow_absorptivity(
+        jnp.asarray([0.0, 10.0, 1.0e4]), 0.70, 10.0))
+    np.testing.assert_allclose(a[0], 0.92, rtol=1e-6)
+    np.testing.assert_allclose(a[1], 0.5 * (0.92 + 0.30), rtol=1e-6)
+    assert abs(a[2] - 0.30) < 0.01
+
+    _, state, forcing, params, geom, cfg = ge._build(64)
+    f32 = jnp.float32
+    # Mild melt conditions over a deep pack, no precipitation.
+    melty = forcing.replace(tas=jnp.full(64, c.TF + 2.0, f32),
+                            pr=jnp.zeros(64, f32))
+    snowy = state.replace(swe=jnp.full(64, 200.0, f32))
+    st_on, d_on = day_step(snowy, melty, params, geom, cfg.dt,
+                           cfg.nisurf, snow=SnowParams(),
+                           snow_albedo=(0.70, 10.0))
+    st_off, d_off = day_step(snowy, melty, params, geom, cfg.dt,
+                             cfg.nisurf, snow=SnowParams())
+    evap_on = float(jnp.sum(d_on["evap_day"]))
+    evap_off = float(jnp.sum(d_off["evap_day"]))
+    assert evap_on < 0.55 * evap_off
+    assert float(jnp.max(d_on["max_abs_residual"])) < 0.1
+
+    # Bare ground: the feedback is a no-op.
+    st_b1, d_b1 = day_step(state, melty, params, geom, cfg.dt,
+                           cfg.nisurf, snow=SnowParams(),
+                           snow_albedo=(0.70, 10.0))
+    st_b2, d_b2 = day_step(state, melty, params, geom, cfg.dt,
+                           cfg.nisurf, snow=SnowParams())
+    np.testing.assert_allclose(np.asarray(d_b1["evap_day"]),
+                               np.asarray(d_b2["evap_day"]),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_snow_albedo_pallas_path(layer_grid):
+    """sw_abs threads through the Pallas kernel (interpret) and the
+    shard_map'd variant identically to the XLA path."""
+    import __graft_entry__ as ge
+    from jax.sharding import Mesh
+    from hybrid9_tpu.physics.hydrology import derive_forcing
+    from hybrid9_tpu.physics.pallas_day import (
+        pallas_hydrology_day, pallas_hydrology_day_sharded)
+    from hybrid9_tpu.step import day_step, snow_absorptivity
+
+    _, state, forcing, params, geom, cfg = ge._build(256)
+    f32 = jnp.float32
+    swe = jnp.full(256, 150.0, f32)
+    sw_abs = snow_absorptivity(swe, 0.70, 10.0)
+
+    ref_soil = state.soil
+    # XLA single substep chain via day_step (vegetation off to isolate).
+    st_x, d_x = day_step(state.replace(swe=swe),
+                         forcing, params, geom, cfg.dt, cfg.nisurf,
+                         snow=SnowParams(), snow_albedo=(0.70, 10.0),
+                         vegetation=False)
+    psoil, pd = pallas_hydrology_day(
+        ref_soil, state.veg, params,
+        forcing.replace(pr=jnp.zeros(256, f32)), geom, cfg.dt,
+        cfg.nisurf, block=128, interpret=True, sw_abs=sw_abs)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("cells",))
+    ssoil, sd = pallas_hydrology_day_sharded(
+        ref_soil, state.veg, params,
+        forcing.replace(pr=jnp.zeros(256, f32)), geom, cfg.dt,
+        cfg.nisurf, mesh=mesh, block=64, interpret=True, sw_abs=sw_abs)
+    np.testing.assert_allclose(np.asarray(ssoil.h2osoi_liq),
+                               np.asarray(psoil.h2osoi_liq),
+                               rtol=1e-5, atol=1e-5)
+    assert float(jnp.max(pd["max_abs_residual"])) < 0.1
+    assert float(jnp.max(sd["max_abs_residual"])) < 0.1

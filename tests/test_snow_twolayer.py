@@ -166,3 +166,33 @@ def test_simulation_twolayer_year(tmp_path):
     # Cold (high-latitude) cells accumulated a pack at some point.
     assert float(np.max(means["swe"][:grid.n_land])) > 0.0
     assert np.all(np.isfinite(np.asarray(sim.state.snowpack.t_surf)))
+
+
+def test_scheme_switch_preserves_legacy_swe(layer_grid):
+    """Resuming a degree-day checkpoint under snow_scheme='twolayer'
+    must bank the legacy SWE in the pack, not delete it; and a pack
+    stranded by the reverse switch cannot resurrect melted water."""
+    import __graft_entry__ as ge
+    from hybrid9_tpu.step import day_step
+
+    _, state, forcing, params, geom, cfg = ge._build(64)
+    f32 = jnp.float32
+    cold = forcing.replace(tas=jnp.full(64, 250.0, f32),
+                           pr=jnp.zeros(64, f32))
+    # Legacy degree-day store: 500 mm, empty snowpack struct.
+    state = state.replace(swe=jnp.full(64, 500.0, f32))
+    st, _ = day_step(state, cold, params, geom, cfg.dt, cfg.nisurf,
+                     snow=TwoLayerSnowParams())
+    np.testing.assert_allclose(np.asarray(st.swe), 500.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.snowpack.swe_base), 500.0,
+                               rtol=1e-6)
+    # Reverse-switch staleness: swe melted down to 200 while the pack
+    # struct still says 300 -> the pack is scaled to swe, no
+    # resurrection.
+    stale = st.replace(
+        swe=jnp.full(64, 200.0, f32),
+        snowpack=st.snowpack.replace(
+            swe_base=jnp.full(64, 300.0, f32)))
+    st2, _ = day_step(stale, cold, params, geom, cfg.dt, cfg.nisurf,
+                      snow=TwoLayerSnowParams())
+    np.testing.assert_allclose(np.asarray(st2.swe), 200.0, rtol=1e-5)
