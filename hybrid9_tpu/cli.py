@@ -153,6 +153,109 @@ def cmd_site(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_calibrate(args: argparse.Namespace) -> int:
+    """Fit soil-parameter multipliers to observed daily ET by adjoint
+    (calibrate.py): the closed-loop version of the reference's manual
+    LCLIM model-vs-obs comparison (HYBRID9.f90:449; notes.txt's hand
+    parameter sweeps).  Runs on the single-column site configuration."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .calibrate import CalibrationSpec, calibrate
+    from .config import Config
+    from .physics import constants as c
+    from .physics import reference_column as ref
+    from .physics.hydrology import Geometry
+    from .site import (_kernel_soil_params, _split_obs,
+                       read_site_climate_csv, read_site_subdaily_csv)
+    from .state import Forcing, initial_state
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = Config(nisurf=args.nisurf)
+    grid = cfg.layer_grid()
+
+    # Forcing record: site climate CSV or one synthetic year.
+    if args.climate:
+        climate = read_site_climate_csv(args.climate)
+    else:
+        from .data.synthetic import synthetic_forcing_day
+        climate = [
+            ref.DailyForcing(**{k: float(v[0]) for k, v in
+                                synthetic_forcing_day(
+                                    1, d + 1, seed=17,
+                                    lat=np.array([cfg.site_lat])).items()})
+            for d in range(365)]
+    ndays = len(climate)
+    dtype = jnp.dtype(cfg.dtype)
+    fields = ("tas", "rlds", "rsds", "huss", "ps", "pr", "rhs")
+    forcing = Forcing(**{
+        k: jnp.asarray(np.array([[getattr(d, k)] for d in climate]),
+                       dtype) for k in fields})
+
+    # Observations: --obs CSV (doy, evap_obs in mm/day) or the evap_obs
+    # column of a sub-daily LCLIM CSV summed to daily.
+    obs_by_doy = {}
+    if args.obs:
+        import csv as _csv
+        with open(args.obs) as f:
+            for row in _csv.DictReader(f):
+                obs_by_doy[int(row["doy"])] = float(row["evap_obs"])
+    elif args.subdaily:
+        sub = read_site_subdaily_csv(args.subdaily, cfg.nisurf)
+        _, obs_by_doy = _split_obs(sub)
+    else:
+        raise SystemExit("calibrate needs --obs or --subdaily "
+                         "(observed daily ET)")
+    obs = np.zeros((ndays, 1))
+    mask = np.zeros((ndays, 1), bool)
+    for doy, v in obs_by_doy.items():
+        if 1 <= doy <= ndays:
+            obs[doy - 1, 0] = v
+            mask[doy - 1, 0] = True
+    if not mask.any():
+        raise SystemExit("no usable observations in the record")
+
+    from .data.synthetic import synthetic_soil_params
+    nl = grid.nsoil
+    raw = synthetic_soil_params(1, seed=17, n_layers=nl)
+    col = ref.ColumnParams(
+        theta_s=raw["theta_s"][0], hksat=raw["hksat"][0],
+        bsw=raw["bsw"][0], psi_s=raw["psi_s"][0],
+        fmax=float(raw["fmax"][0]))
+    params = _kernel_soil_params(col, dtype)
+    state0 = initial_state(params, grid.dz, grid.zi, dtype)
+    geom = Geometry(zi=tuple(map(float, grid.zi)),
+                    dz_soil=tuple(map(float, grid.dz[:nl])),
+                    zc_soil=tuple(map(float, grid.zc[:nl])))
+
+    spec = CalibrationSpec(fields=tuple(args.fields.split(",")))
+    res = calibrate(params, state0, forcing, geom,
+                    jnp.asarray(obs, dtype), spec=spec,
+                    nisurf=cfg.nisurf, steps=args.steps,
+                    learning_rate=args.lr,
+                    obs_mask=jnp.asarray(mask))
+    hist = np.asarray(res.loss_history)
+    multipliers = {k: float(np.exp(np.asarray(v)))
+                   for k, v in res.theta.items()}
+    log.info("calibrate: %d obs days, loss %.4g -> %.4g (%d steps)",
+             int(mask.sum()), hist[0], hist[-1], args.steps)
+    for k, m in multipliers.items():
+        log.info("  %s multiplier: %.4f", k, m)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"multipliers": multipliers,
+                       "loss_initial": float(hist[0]),
+                       "loss_final": float(hist[-1]),
+                       "steps": args.steps,
+                       "obs_days": int(mask.sum())}, f, indent=2)
+        log.info("wrote %s", args.out)
+    return 0
+
+
 def cmd_prep_soil(args: argparse.Namespace) -> int:
     """One-time soil preprocessing: raw HWSD/BNU archives -> the
     per-layer parameter file `run` consumes (soil_source='netcdf').
@@ -214,6 +317,25 @@ def main(argv=None) -> int:
                     help="float64 NumPy oracle or the production jitted "
                          "kernels (the TPU code path)")
     ps.set_defaults(fn=cmd_site)
+
+    pc = sub.add_parser("calibrate",
+                        help="fit soil parameters to observed ET "
+                             "(adjoint/Adam, single column)")
+    pc.add_argument("--climate", help="daily climate CSV (site format)")
+    pc.add_argument("--obs", help="observed daily ET CSV (doy, evap_obs "
+                                  "in mm/day)")
+    pc.add_argument("--subdaily",
+                    help="sub-daily LCLIM CSV; its evap_obs column is "
+                         "summed to daily observations")
+    pc.add_argument("--fields", default="hksat,bsw,psi_s",
+                    help="comma-separated parameters to fit")
+    pc.add_argument("--steps", type=int, default=100)
+    pc.add_argument("--lr", type=float, default=0.1)
+    pc.add_argument("--nisurf", type=int, default=48)
+    pc.add_argument("--out", default=None,
+                    help="write fitted multipliers to this JSON file")
+    pc.add_argument("--platform", default=None)
+    pc.set_defaults(fn=cmd_calibrate)
 
     pp = sub.add_parser("prep-soil",
                         help="preprocess raw HWSD/BNU soil archives")

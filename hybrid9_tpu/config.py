@@ -137,7 +137,13 @@ class Config:
     dtype: str = "float32"            # Working dtype for the physics.
     mesh_axis: str = "cells"          # Mesh axis name for the cell shard.
     cell_block: int = 1024            # Pad n_land to a multiple of this.
-    donate_state: bool = True         # Donate state buffers in the day step.
+    donate_state: bool = False        # Donate state/accumulator buffers to
+                                      # block_step (saves one state-sized
+                                      # HBM copy per block).  Default off:
+                                      # the axon TPU backend fails D2H
+                                      # transfers of outputs from donated-
+                                      # input executables (step.py note);
+                                      # flip on where the backend allows.
     use_pallas: Optional[bool] = None  # VMEM-resident Pallas day kernel;
                                        # None = auto (TPU only).
     pallas_block: int = 1024          # Cells per Pallas VMEM tile.

@@ -1,0 +1,99 @@
+"""Vmapped ensemble runs for uncertainty quantification.
+
+Second TPU-native capability beyond the reference: running an ensemble
+of parameter-perturbed simulations is a single ``jax.vmap`` over a
+stacked member axis — one compiled kernel integrates all members at
+once, filling the VPU lanes, instead of the reference's one-SLURM-job-
+per-member workflow (its notebook records exactly that: whole output
+dirs saved to /save1../save6 and diffed by hand, reference
+notes.txt Nov-Dec 2016).
+
+The member axis composes with the cell sharding: members are
+independent, so on a mesh the stacked params/state shard along cells
+exactly like a single run and the ensemble adds pure batch work.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .calibrate import CALIBRATABLE, apply_multipliers
+from .physics import constants as c
+from .physics.hydrology import Geometry
+from .state import Forcing, ModelState, SoilParams
+from .step import day_step
+
+
+def perturbed_multipliers(key: jax.Array,
+                          n_members: int,
+                          fields: Sequence[str] = ("hksat", "psi_s",
+                                                   "bsw"),
+                          sigma: float = 0.3) -> Dict[str, jnp.ndarray]:
+    """Log-normal multiplier ensemble: ``[n_members]`` per field.
+
+    Member 0 is always the unperturbed control (theta = 0), so the
+    control trajectory is recoverable from every ensemble run.
+    """
+    for f in fields:
+        if f not in CALIBRATABLE:
+            raise ValueError(f"{f} is not calibratable "
+                             f"(allowed: {CALIBRATABLE})")
+    keys = jax.random.split(key, len(fields))
+    theta = {}
+    for f, k in zip(fields, keys):
+        t = sigma * jax.random.normal(k, (n_members,))
+        theta[f] = t.at[0].set(0.0)
+    return theta
+
+
+class EnsembleResult(NamedTuple):
+    """Stacked outputs, member axis leading."""
+
+    evap: jnp.ndarray       # [members, days, n] daily ET        (mm/day)
+    runoff: jnp.ndarray     # [members, days, n] daily runoff    (mm/day)
+    npp: jnp.ndarray        # [members, days, n] daily NPP  (g DM/plant)
+    final_states: ModelState  # member-stacked end states
+
+
+def run_ensemble(theta: Dict[str, jnp.ndarray],
+                 params: SoilParams,
+                 state0: ModelState,
+                 forcing_days: Forcing,
+                 geom: Geometry,
+                 nisurf: int = c.NISURF_DEFAULT,
+                 vegetation: bool = True) -> EnsembleResult:
+    """Integrate all members of a parameter ensemble in one vmap.
+
+    ``theta``: per-field ``[n_members]`` log-multipliers (e.g. from
+    ``perturbed_multipliers`` or posterior samples around a
+    ``calibrate`` fit).  All members share ``state0`` and the forcing;
+    the scan over days happens inside the vmap, so XLA emits one fused
+    program with a members x cells batch.
+    """
+    dt = c.SDAY / nisurf
+
+    def one_member(theta_m):
+        p = apply_multipliers(params, theta_m)
+
+        def body(state, f_day):
+            state, diags = day_step(state, f_day, p, geom, dt, nisurf,
+                                    vegetation=vegetation)
+            return state, (diags["evap_day"], diags["rnf_day"],
+                           diags["npp"])
+
+        final, (evap, rnf, npp) = jax.lax.scan(body, state0,
+                                               forcing_days)
+        return final, evap, rnf, npp
+
+    final, evap, rnf, npp = jax.jit(jax.vmap(one_member))(theta)
+    return EnsembleResult(evap=evap, runoff=rnf, npp=npp,
+                          final_states=final)
+
+
+def ensemble_spread(x: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean, std) over the member axis of a stacked diagnostic."""
+    return jnp.mean(x, axis=0), jnp.std(x, axis=0)

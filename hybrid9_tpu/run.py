@@ -23,7 +23,7 @@ from .config import Config
 from .physics.hydrology import Geometry
 from .state import (AnnualAccumulators, Forcing, ModelState, SoilParams,
                     initial_state)
-from .step import annual_means, block_step
+from .step import annual_means, block_step, block_step_donated
 from .utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -194,7 +194,12 @@ class Simulation:
                     ndays_next = calendar.days_in_year(year + 1)
                     prefetch(year + 1, 1, min(block_days, ndays_next))
             block = forcing_provider(year, doy, nblk)
-            out = block_step(
+            # Donation (Config.donate_state) reuses the state/acc buffers
+            # for the outputs; both are rebound from the return below,
+            # so nothing references the donated inputs afterwards.
+            step_fn = (block_step_donated if cfg.donate_state
+                       else block_step)
+            out = step_fn(
                 self.state, acc, block, self.params, self.geom,
                 cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
                 pallas_block=cfg.pallas_block, routing=self.routing,

@@ -106,9 +106,16 @@ class SnowpackState:
 
     @classmethod
     def zeros(cls, n: int, dtype=jnp.float32) -> "SnowpackState":
-        z = jnp.zeros((n,), dtype)
-        tf = jnp.full((n,), c.TF, dtype)
-        return cls(swe_surf=z, swe_base=z, w_liq=z, t_surf=tf, t_base=tf)
+        # Distinct buffers per field: donated executables
+        # (Config.donate_state) reject the same buffer appearing twice.
+        def z():
+            return jnp.zeros((n,), dtype)
+
+        def tf():
+            return jnp.full((n,), c.TF, dtype)
+
+        return cls(swe_surf=z(), swe_base=z(), w_liq=z(),
+                   t_surf=tf(), t_base=tf())
 
 
 @struct.dataclass
@@ -232,21 +239,28 @@ class AnnualAccumulators:
     @classmethod
     def zeros(cls, n: int, nsoil: int = c.NSOIL_LAYERS,
               dtype=jnp.float32) -> "AnnualAccumulators":
-        z = jnp.zeros((n,), dtype)
+        # Distinct buffers per field (not one shared zeros array):
+        # donated executables (Config.donate_state) reject the same
+        # buffer appearing twice in the argument list.
+        def z():
+            return jnp.zeros((n,), dtype)
+
         return cls(
-            npp_sum=z, discharge_sum=z, t_surf_sum=z, plant_mass_sum=z,
-            rnf_sum=z, evap_sum=z,
-            tas_sum=z, rlds_sum=z, rsds_sum=z, huss_sum=z, ps_sum=z,
-            pr_sum=z, rhs_sum=z,
+            npp_sum=z(), discharge_sum=z(), t_surf_sum=z(),
+            plant_mass_sum=z(),
+            rnf_sum=z(), evap_sum=z(),
+            tas_sum=z(), rlds_sum=z(), rsds_sum=z(), huss_sum=z(),
+            ps_sum=z(),
+            pr_sum=z(), rhs_sum=z(),
             theta_sum=jnp.zeros((n, nsoil), dtype),
-            h2osoi_total_sum=z,
-            swe_sum=z,
-            ice_sum=z,
-            rh_sum=z,
-            nee_sum=z,
-            c_soil_sum=z,
+            h2osoi_total_sum=z(),
+            swe_sum=z(),
+            ice_sum=z(),
+            rh_sum=z(),
+            nee_sum=z(),
+            c_soil_sum=z(),
             n_days=jnp.zeros((), dtype),
-            max_abs_residual=z,
+            max_abs_residual=z(),
         )
 
 

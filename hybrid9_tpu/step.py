@@ -395,18 +395,13 @@ def _focus_row(state: ModelState, forcing: Forcing,
     )
 
 
-# NOTE: no buffer donation here — the axon TPU backend fails D2H
-# transfers of outputs from donated-input executables (InvalidArgument).
-# Donation saves one state-sized HBM copy per block; revisit when the
-# backend supports it.
-@functools.partial(jax.jit,
-                   static_argnames=("nisurf", "dt", "geom", "use_pallas",
-                                    "pallas_block", "focus_idx",
-                                    "freeze", "vegetation", "soil_ice",
-                                    "mesh", "pallas_interpret",
-                                    "zd09_every", "snow_albedo",
-                                    "carbon"))
-def block_step(state: ModelState, acc: AnnualAccumulators,
+_BLOCK_STEP_STATIC = ("nisurf", "dt", "geom", "use_pallas",
+                      "pallas_block", "focus_idx", "freeze", "vegetation",
+                      "soil_ice", "mesh", "pallas_interpret", "zd09_every",
+                      "snow_albedo", "carbon")
+
+
+def _block_step(state: ModelState, acc: AnnualAccumulators,
                forcing_block: Forcing, params: SoilParams, geom: Geometry,
                dt: float, nisurf: int, use_pallas: bool = False,
                pallas_block: int = 1024, routing=None, lateral=None,
@@ -445,6 +440,19 @@ def block_step(state: ModelState, acc: AnnualAccumulators,
     if focus_idx is not None:
         return state, acc, ys
     return state, acc
+
+
+#: Default compiled block step (no donation — the axon TPU backend fails
+#: D2H transfers of outputs from donated-input executables,
+#: InvalidArgument; Config.donate_state documents the trade).
+block_step = jax.jit(_block_step, static_argnames=_BLOCK_STEP_STATIC)
+
+#: Donating variant (Config.donate_state=True): the incoming state and
+#: accumulator buffers are reused for the outputs, saving one state-sized
+#: HBM copy per block.  Callers must not touch the donated pytrees after
+#: the call (run.py rebinds both from the return value).
+block_step_donated = jax.jit(_block_step, donate_argnums=(0, 1),
+                             static_argnames=_BLOCK_STEP_STATIC)
 
 
 def annual_means(acc: AnnualAccumulators, nisurf: int

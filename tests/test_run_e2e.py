@@ -176,3 +176,25 @@ def test_hydrology_only_mode(tmp_path):
     assert float(np.max(results[0]["npp"])) == 0.0
     # Water still moved.
     assert float(np.sum(results[0]["evap"])) > 0.0
+
+
+def test_donated_block_step_matches(tmp_path):
+    """Config.donate_state reuses state/acc buffers; results must be
+    identical to the copying path (the knob exists because the axon TPU
+    backend rejects D2H from donated executables — step.py note)."""
+    def one_year(donate):
+        cfg = Config(resolution_deg=12.0, start_year=1901, end_year=1901,
+                     forcing_block_days=60, cell_block=32, nisurf=8,
+                     output_path=str(tmp_path), use_pallas=False,
+                     donate_state=donate, write_annual=False)
+        grid, params = load_soil(cfg)
+        provider = SyntheticForcingProvider(
+            grid.n_padded, seed=9, lat=grid.cell_lat, dtype=jnp.float32)
+        sim = Simulation(cfg, params, land_grid=grid)
+        return sim.run(provider)[0]
+
+    plain = one_year(False)
+    donated = one_year(True)
+    for k in ("evap", "rnf", "theta", "npp"):
+        np.testing.assert_array_equal(np.asarray(plain[k]),
+                                      np.asarray(donated[k]))
