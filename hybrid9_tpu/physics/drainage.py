@@ -46,12 +46,42 @@ def _specific_yield(theta_s_l: jnp.ndarray, psi_s_l: jnp.ndarray,
     return jnp.maximum(s_y, 0.02)
 
 
+def compute_specific_yields(zwt: jnp.ndarray, theta_s: List[jnp.ndarray],
+                            psi_s: List[jnp.ndarray],
+                            bsw: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Per-layer specific-yield profile at the current water table.
+
+    Companion to soilwater.compute_equilibrium_zq: the profile costs one
+    pow per layer and depends only on ``zwt`` (which moves millimetres
+    per substep) and static soil parameters, so the substep loops refresh
+    it on the same ``zd09_every`` cadence instead of evaluating it twice
+    per substep (stale + post-recharge tables, 16 pows at nl=8).  A stale
+    profile perturbs only the water-table *trajectory* (zwt moves by
+    ql / s_y) and the per-layer split of baseflow — every water move in
+    the drainage walks is remainder-accounted, so mass conservation is
+    exact regardless of s_y (see the rem/rem_b bookkeeping in
+    :func:`drainage`).
+    """
+    zwtmm = 1000.0 * zwt
+    return [_specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
+            for i in range(len(theta_s))]
+
+
 def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
              qcharge: jnp.ndarray, theta_s: List[jnp.ndarray],
              psi_s: List[jnp.ndarray], bsw: List[jnp.ndarray],
              eff_porosity: List[jnp.ndarray], zi: jnp.ndarray,
-             dz_soil: jnp.ndarray, dt: float) -> DrainageResult:
-    """Drainage phase for all cells; returns updated state and fluxes."""
+             dz_soil: jnp.ndarray, dt: float,
+             s_y_prof: List[jnp.ndarray] = None) -> DrainageResult:
+    """Drainage phase for all cells; returns updated state and fluxes.
+
+    ``s_y_prof`` optionally supplies a precomputed specific-yield profile
+    (:func:`compute_specific_yields`, refreshed on the zd09_every
+    cadence); when given it replaces BOTH per-substep evaluations (the
+    stale-table set and the post-recharge set), saving 2 pows per layer
+    per substep at the cost of a slightly stale yield — mass conservation
+    is unaffected (see compute_specific_yields).
+    """
     nl = len(h2osoi)
     h = list(h2osoi)
 
@@ -62,8 +92,11 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
     in_col = jnp.logical_not(below)
     # Per-layer specific yields at the stale zwtmm, computed once and
     # shared by rous and both table walks (one pow per layer, not three).
-    s_y_stale = [_specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
-                 for i in range(nl)]
+    # NB the walks below rebind the bare name ``s_y`` as per-layer
+    # scratch, so the cached profile must NOT be called ``s_y``.
+    s_y_stale = s_y_prof if s_y_prof is not None else [
+        _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm)
+        for i in range(nl)]
     rous = s_y_stale[nl - 1]
 
     # Below the column: recharge moves the aquifer store directly.
@@ -114,8 +147,9 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
     # --- Baseflow (HYDROLOGY.f90:1013-1123) -------------------------------
     zwtmm1 = 1000.0 * zwt1
     rsub_top = c.RSUB_TOP_MAX * jnp.exp(-c.FFF * zwt1)
-    s_y_1 = [_specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm1)
-             for i in range(nl)]
+    s_y_1 = s_y_prof if s_y_prof is not None else [
+        _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm1)
+        for i in range(nl)]
     rous1 = s_y_1[nl - 1]
     below1 = jwt1 == nl
     in_col1 = jnp.logical_not(below1)

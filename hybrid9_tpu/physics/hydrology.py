@@ -76,7 +76,7 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
                    p_theta_s, p_hksat, p_psi_s, p_bsw, fmax,
                    fd: Dict[str, jnp.ndarray], geom: Geometry,
                    dt: float, imp=None, zq=None,
-                   et_ctx=None) -> Dict[str, object]:
+                   et_ctx=None, sy=None) -> Dict[str, object]:
     """One hydrology substep on plain values.
 
     Per-layer args (``h``, ``smp_prev``, ``rootr``, ``p_*``) are lists of
@@ -87,7 +87,10 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
     (soiltemp.freeze_impedance, constant within a day) that throttle
     infiltration and interface conductivity; ``zq`` an optionally
     precomputed ZD09 equilibrium profile (see
-    soilwater.compute_equilibrium_zq) reused across substeps.
+    soilwater.compute_equilibrium_zq) and ``sy`` an optionally
+    precomputed drainage specific-yield profile
+    (drainage.compute_specific_yields), both refreshed on the
+    ``zd09_every`` cadence and reused across substeps.
 
     Returns a dict with the updated prognostics (``h``, ``smp`` as lists;
     ``zwt``, ``wa``) and the substep fluxes.
@@ -134,7 +137,7 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
     # (HYDROLOGY.f90:911-1216).
     dr = drainage(sw.h2osoi, zwt, wa, sw.qcharge,
                   p_theta_s, p_psi_s, p_bsw, eff_porosity,
-                  geom.zi, dz, dt)
+                  geom.zi, dz, dt, s_y_prof=sy)
 
     # Conservation residual (HYDROLOGY.f90:1221-1274) as a diagnostic.
     w1 = (qflx_surf + et.qflx_evap_grnd + et.qflx_tran_veg
@@ -152,15 +155,17 @@ def substep_values(h, smp_prev, zwt, wa, rootr, lai, lai_litter,
 
 def hydrology_substep(soil: SoilState, veg: VegState, params,
                       fd: Dict[str, jnp.ndarray], geom: Geometry,
-                      dt: float, imp=None, zq=None, et_ctx=None
-                      ) -> Tuple[SoilState, SubstepFluxes]:
+                      dt: float, imp=None, zq=None, et_ctx=None,
+                      sy=None) -> Tuple[SoilState, SubstepFluxes]:
     """One hydrology substep for all cells (pytree wrapper).
 
     ``params`` is a SoilParams pytree; ``fd`` is the derived-forcing dict
     from :func:`derive_forcing` (computed once per day, reused across the
     48 substeps); ``imp`` the optional ``[n, nl]`` frozen-soil impedance;
     ``zq`` an optional precomputed ``[n, nl+1]`` ZD09 equilibrium
-    profile (soilwater.compute_equilibrium_zq, stacked).
+    profile (soilwater.compute_equilibrium_zq, stacked); ``sy`` an
+    optional precomputed ``[n, nl]`` specific-yield profile
+    (drainage.compute_specific_yields, stacked).
     """
     out = substep_values(
         unstack(soil.h2osoi_liq), unstack(soil.smp), soil.zwt, soil.wa,
@@ -170,7 +175,8 @@ def hydrology_substep(soil: SoilState, veg: VegState, params,
         fd, geom, dt,
         imp=None if imp is None else unstack(imp),
         zq=None if zq is None else unstack(zq),
-        et_ctx=et_ctx)
+        et_ctx=et_ctx,
+        sy=None if sy is None else unstack(sy))
 
     new_soil = SoilState(
         h2osoi_liq=stack(out["h"]),

@@ -65,36 +65,43 @@ def _day_kernel(h_ref, smp_ref, zwt_ref, wa_ref,
 
     if zd09_every > 1:
         # The ZD09 equilibrium profile (~26 of the substep's ~44 pow
-        # evaluations) depends only on zwt + static params; refresh it
-        # every zd09_every substeps via a scalar-predicate cond (the
+        # evaluations) and the drainage specific-yield profile (16 more
+        # pows) both depend only on zwt + static params; refresh them
+        # every zd09_every substeps via one scalar-predicate cond (the
         # water table moves millimetres per day; conservation is
-        # unaffected — see soilwater.compute_equilibrium_zq).
+        # unaffected — see soilwater.compute_equilibrium_zq and
+        # drainage.compute_specific_yields).
+        from .drainage import compute_specific_yields
         from .soilwater import compute_equilibrium_zq
 
         def body(it, carry):
-            (h, smp, zwt, wa, zq, evap, evap_grnd, rnf,
+            (h, smp, zwt, wa, zq, sy, evap, evap_grnd, rnf,
              max_res) = carry
-            zq = jax.lax.cond(
+            zq, sy = jax.lax.cond(
                 it % zd09_every == 0,
-                lambda z: tuple(compute_equilibrium_zq(
-                    z, p_ts, p_ps, p_bs, geom.zi)),
-                lambda _: zq, zwt)
+                lambda z: (tuple(compute_equilibrium_zq(
+                               z, p_ts, p_ps, p_bs, geom.zi)),
+                           tuple(compute_specific_yields(
+                               z, p_ts, p_ps, p_bs))),
+                lambda _: (zq, sy), zwt)
             out = substep_values(list(h), list(smp), zwt, wa, rootr,
                                  lai, litter, p_ts, p_hk, p_ps, p_bs,
                                  fmax, fd, geom, dt, imp=imp,
-                                 zq=list(zq), et_ctx=et_ctx)
+                                 zq=list(zq), et_ctx=et_ctx,
+                                 sy=list(sy))
             evap = evap + (out["qflx_evap_grnd"]
                            + out["qflx_tran_veg"]) * dt
             evap_grnd = evap_grnd + out["qflx_evap_grnd"] * dt
             rnf = rnf + (out["qflx_surf"] + out["rsub_top"]) * dt
             max_res = jnp.maximum(max_res, jnp.abs(out["residual"]))
             return (tuple(out["h"]), tuple(out["smp"]), out["zwt"],
-                    out["wa"], zq, evap, evap_grnd, rnf, max_res)
+                    out["wa"], zq, sy, evap, evap_grnd, rnf, max_res)
 
         zq0 = tuple(jnp.zeros_like(lai) for _ in range(nl + 1))
+        sy0 = tuple(jnp.zeros_like(lai) for _ in range(nl))
         carry0 = (tuple(rows(h_ref)), tuple(rows(smp_ref)), zwt_ref[:],
-                  wa_ref[:], zq0, zero, zero, zero, zero)
-        (h, smp, zwt, wa, _zq, evap, evap_grnd, rnf,
+                  wa_ref[:], zq0, sy0, zero, zero, zero, zero)
+        (h, smp, zwt, wa, _zq, _sy, evap, evap_grnd, rnf,
          max_res) = jax.lax.fori_loop(0, nisurf, body, carry0)
     else:
         def body(_, carry):

@@ -165,36 +165,44 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     # Daily sums ride the scan carry (not stacked ys): less HBM traffic
     # and a smaller XLA graph than materialising [nisurf, n] flux arrays.
     if zd09_every > 1:
-        # Refresh the ZD09 equilibrium profile only every zd09_every
-        # substeps (see soilwater.compute_equilibrium_zq); the profile
-        # rides the carry as a stacked [n, nl+1] array.
+        # Refresh the ZD09 equilibrium profile AND the drainage
+        # specific-yield profile only every zd09_every substeps (see
+        # soilwater.compute_equilibrium_zq and
+        # drainage.compute_specific_yields); both ride the carry as
+        # stacked [n, nl+1] / [n, nl] arrays.
+        from .physics.drainage import compute_specific_yields
         from .physics.layers import stack, unstack
         from .physics.soilwater import compute_equilibrium_zq
 
-        def fresh_zq(zwt):
+        def fresh_ctx(zwt):
             # geom.zi stays a tuple of (weak-typed) Python floats, so the
             # profile keeps the state dtype.
-            return stack(compute_equilibrium_zq(
+            zq = stack(compute_equilibrium_zq(
                 zwt, unstack(params.theta_s), unstack(params.psi_s),
                 unstack(params.bsw), geom.zi))
+            sy = stack(compute_specific_yields(
+                zwt, unstack(params.theta_s), unstack(params.psi_s),
+                unstack(params.bsw)))
+            return zq, sy
 
         def substep(carry, it):
-            soil, zq, evap, evap_grnd, rnf, max_res = carry
-            zq = jax.lax.cond(it % zd09_every == 0, fresh_zq,
-                              lambda _: zq, soil.zwt)
+            soil, zq, sy, evap, evap_grnd, rnf, max_res = carry
+            zq, sy = jax.lax.cond(it % zd09_every == 0, fresh_ctx,
+                                  lambda _: (zq, sy), soil.zwt)
             soil, fx = hydrology_substep(soil, veg, params, fd, geom,
                                          dt, imp=imp, zq=zq,
-                                         et_ctx=et_ctx)
+                                         et_ctx=et_ctx, sy=sy)
             evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
             evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
             rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
             max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
-            return (soil, zq, evap, evap_grnd, rnf, max_res), None
+            return (soil, zq, sy, evap, evap_grnd, rnf, max_res), None
 
         nl = state.soil.h2osoi_liq.shape[1]
         zq0 = jnp.zeros((n, nl + 1), dtype)
-        carry0 = (state.soil, zq0, zeros, zeros, zeros, zeros)
-        (soil, _zq, evap_day, evap_grnd_day, rnf_day, max_res), _ = \
+        sy0 = jnp.zeros((n, nl), dtype)
+        carry0 = (state.soil, zq0, sy0, zeros, zeros, zeros, zeros)
+        (soil, _zq, _sy, evap_day, evap_grnd_day, rnf_day, max_res), _ = \
             jax.lax.scan(substep, carry0, jnp.arange(nisurf))
     else:
         def substep(carry, _):
