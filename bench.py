@@ -59,7 +59,8 @@ def main() -> None:
     from hybrid9_tpu.step import day_step
     step_fn, state, forcing, params, geom, cfg = _build(n_cells)
     # H9_BENCH_ZD09=k overrides the ZD09 refresh interval; default is
-    # the production Config default (1 = exact reference behavior).
+    # the production Config default (8 = 4-hourly refresh; 1 = exact
+    # reference behavior, the mode all parity tests use).
     zd09_every = int(os.environ.get("H9_BENCH_ZD09", str(cfg.zd09_every)))
 
     mesh = None
@@ -120,6 +121,12 @@ def main() -> None:
         "vs_baseline": round(cells_per_s / BASELINE_CELLS_PER_S_PER_CORE,
                              2),
         "n_cells": n_cells,
+        # Mode flags, so BENCH_r*.json comparisons across rounds cannot
+        # silently mix modes: zd09_every=1 is exact-reference behavior,
+        # 8 is the documented production approximation (DEVIATIONS.md).
+        "zd09_every": zd09_every,
+        "pallas": use_pallas,
+        "sharded": shard,
     }
     print(json.dumps(result))
 

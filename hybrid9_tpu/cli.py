@@ -89,15 +89,22 @@ def cmd_run(args: argparse.Namespace) -> int:
     if multihost and sharding is None:
         raise SystemExit("multi-host runs require --shard")
     host_slice = None
+    host_range = None
     if multihost:
         from .parallel.launch import host_shard_bounds
         lo, hi = host_shard_bounds(grid.n_padded)
         host_slice = slice(lo, hi)
+        host_range = (lo, hi)
     if cfg.forcing == "pgf" and cfg.forcing_path:
         from .data.forcing import NetCDFForcingProvider
         local = NetCDFForcingProvider(cfg.forcing_path, grid,
-                                      cell_slice=host_slice)
+                                      cell_range=host_range)
         if multihost:
+            # Per-host narrowed ingest: this process hyperslabs only the
+            # lat-row band its cells occupy (READ_NET_CDF_3DR.f90:95-97).
+            log.info("pgf shard read band: rows [%d, %d) of %d (%.0f%%)",
+                     local.row_lo, local.row_hi, grid.ny,
+                     100.0 * (local.row_hi - local.row_lo) / grid.ny)
             from .data.forcing import HostShardedProvider
             local = HostShardedProvider(local, sharding, grid.n_padded)
         provider = PrefetchingProvider(local)

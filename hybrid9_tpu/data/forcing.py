@@ -67,6 +67,14 @@ class SyntheticForcingProvider:
                           for k, v in block.items()})
 
 
+# Benign per-variable fill for padding lanes a host cannot source from a
+# local real cell (zero-fill means tas = 0 K, which blows up the ET
+# psychrometrics; padding state is discarded, but non-finite lanes poison
+# global max-reductions and the health check).
+_PAD_FORCING = {"tas": 280.0, "rlds": 300.0, "rsds": 100.0,
+                "huss": 0.005, "ps": 1.0e5, "pr": 0.0, "rhs": 50.0}
+
+
 class NetCDFForcingProvider:
     """Reads PGF-style NetCDF archives, one block of days at a time.
 
@@ -74,38 +82,66 @@ class NetCDFForcingProvider:
     decade named ``<var>_<tag>.nc[4]`` holding ``[time, lat, lon]``
     (READ_PGF.f90:22-109); cells are gathered to the packed land axis via
     the provided LandGrid.
+
+    ``cell_range=(lo, hi)`` restricts the provider to a slab of the
+    packed cell axis AND narrows every file read to the latitude-row band
+    that slab occupies — each host hyperslabs only its own spatial
+    footprint, exactly the reference's per-rank tile read
+    (READ_NET_CDF_3DR.f90:95-97: start (lon_s, lat_s, 1), count
+    (lon_c, lat_c, NTIMES)).  ``cell_slice`` is the legacy full-read +
+    post-slice path, kept for callers that already hold global bricks.
     """
 
     def __init__(self, path_pattern: str, land_grid, dtype=jnp.float32,
-                 cell_slice: Optional[slice] = None):
+                 cell_slice: Optional[slice] = None,
+                 cell_range: Optional[tuple] = None):
         from ..io import netcdf as nc
         self._nc = nc
         self.path_pattern = path_pattern
         self.grid = land_grid
         self.dtype = dtype
         self.cell_slice = cell_slice or slice(None)
+        self.cell_range = cell_range
+        if cell_range is not None:
+            lo, hi = cell_range
+            self.row_lo, self.row_hi, self._local_idx = \
+                land_grid.row_band(lo, hi)
+            self.n_slab = hi - lo
+            self.n_real = self._local_idx.shape[0]
+
+    def _path(self, var: str, year: int) -> str:
+        if "{var}" in self.path_pattern:
+            return self.path_pattern.format(var=var, year=year)
+        return pgf_decade_path(self.path_pattern, var, year)
 
     def __call__(self, year: int, start_doy: int, n_days: int) -> Forcing:
         from .. import calendar
         t0 = calendar.time_boy(year) - calendar.time_boy(
             1901 + ((year - 1901) // 10) * 10) + start_doy - 1
+        tslice = slice(t0, t0 + n_days)
         arrays: Dict[str, jnp.ndarray] = {}
         from ..io import native
         for var in PGF_VARIABLES:
-            if "{var}" in self.path_pattern:
-                path = self.path_pattern.format(var=var, year=year)
-            else:
-                path = pgf_decade_path(self.path_pattern, var, year)
-            raw = self._nc.read_variable(
-                path, var, (slice(t0, t0 + n_days),))
+            path = self._path(var, year)
+            if self.cell_range is not None:
+                # Per-host narrowed read: only this slab's lat-row band.
+                if self.n_real:
+                    raw = self._nc.read_variable(
+                        path, var,
+                        (tslice, slice(self.row_lo, self.row_hi)))
+                    packed = native.pack_forcing_block(
+                        np.asarray(raw), self._local_idx, self.n_slab)
+                    packed[:, self.n_real:] = packed[:, :1]
+                else:  # slab is entirely padding lanes
+                    packed = np.full((n_days, self.n_slab),
+                                     _PAD_FORCING[var], np.float32)
+                arrays[var] = jnp.asarray(packed, self.dtype)
+                continue
+            raw = self._nc.read_variable(path, var, (tslice,))
             # One-pass gather + narrowing through the native library
             # (h9_pack_forcing_block) when built.
             packed = native.pack_forcing_block(
                 np.asarray(raw), self.grid.land_idx, self.grid.n_padded)
-            # Padding lanes get a real cell's forcing (zero-fill means
-            # tas = 0 K, which blows up the ET psychrometrics; padding
-            # state is discarded, but non-finite lanes poison global
-            # max-reductions and the health check).
             packed[:, self.grid.n_land:] = packed[:, :1]
             arrays[var] = jnp.asarray(packed[:, self.cell_slice],
                                       self.dtype)

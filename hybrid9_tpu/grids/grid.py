@@ -108,6 +108,27 @@ class LandGrid:
         out[self.land_idx] = packed[:self.n_land]
         return out.reshape(self.ny, self.nx, *packed.shape[1:])
 
+    def row_band(self, lo: int, hi: int) -> tuple[int, int, np.ndarray]:
+        """Latitude-row band covering packed cells [lo, hi).
+
+        ``land_idx`` is sorted (row-major flatnonzero), so any contiguous
+        slab of the packed axis maps to a contiguous band of latitude
+        rows.  Returns ``(row_lo, row_hi, local_idx)`` where
+        ``local_idx`` are gather indices into the flattened
+        ``[row_hi - row_lo, nx]`` band for the real (non-padding) cells of
+        the slab.  This is what lets each host hyperslab-read only its own
+        spatial footprint of a forcing file — the packed-axis analog of
+        each MPI rank's (lon_s, lat_s) x (lon_c, lat_c) tile read
+        (READ_NET_CDF_3DR.f90:95-97).
+        """
+        hi_real = min(hi, self.n_land)
+        if hi_real <= lo:  # slab is entirely padding lanes
+            return 0, 0, np.zeros(0, np.int64)
+        idx = self.land_idx[lo:hi_real]
+        row_lo = int(idx[0] // self.nx)
+        row_hi = int(idx[-1] // self.nx) + 1
+        return row_lo, row_hi, (idx - row_lo * self.nx).astype(np.int64)
+
     def cell_index_of(self, lon_w: float, lat_w: float) -> int:
         """Packed index of the land cell nearest (lon_w, lat_w).
 

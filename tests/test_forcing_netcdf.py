@@ -48,6 +48,53 @@ def test_netcdf_provider_reads_block(pgf_archive):
     assert np.all(pad == np.asarray(block.tas)[:, :1])
 
 
+def test_cell_range_narrows_reads_to_row_band(pgf_archive):
+    """Per-host slab reads hyperslab only the slab's lat-row band and
+    reproduce the corresponding slice of the full-read provider
+    (READ_NET_CDF_3DR.f90:95-97 ownership pattern)."""
+    tmp, mask, data = pgf_archive
+    grid = make_land_grid(mask, 12.0, pad_multiple=32)
+    pattern = str(tmp / "{var}_pgf_test.nc4")
+    full = NetCDFForcingProvider(pattern, grid)(1901, 1, 6)
+    n = grid.n_padded
+    half = n // 2
+    rows_covered = 0
+    for lo, hi in ((0, half), (half, n)):
+        prov = NetCDFForcingProvider(pattern, grid, cell_range=(lo, hi))
+        # Strict subset of the global row range.
+        assert 0 <= prov.row_lo < prov.row_hi <= grid.ny
+        assert (prov.row_hi - prov.row_lo) < grid.ny
+        rows_covered += prov.row_hi - prov.row_lo
+        blk = prov(1901, 1, 6)
+        assert blk.tas.shape == (6, hi - lo)
+        for var in ("tas", "pr", "ps"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(blk, var))[:, :prov.n_real],
+                np.asarray(getattr(full, var))[:, lo:lo + prov.n_real])
+        # Padding lanes inside the slab replicate a local real cell.
+        padlanes = np.asarray(blk.tas)[:, prov.n_real:]
+        if padlanes.size:
+            assert np.all(padlanes == np.asarray(blk.tas)[:, :1])
+    # The two bands may overlap by at most one row (a split mid-row).
+    assert rows_covered <= grid.ny + 1
+
+
+def test_cell_range_all_padding_slab(pgf_archive):
+    """A slab past n_land (possible on the last host) yields finite,
+    benign forcing without touching the files."""
+    tmp, mask, data = pgf_archive
+    grid = make_land_grid(mask, 12.0, pad_multiple=512)
+    assert grid.n_padded > grid.n_land
+    prov = NetCDFForcingProvider(
+        str(tmp / "{var}_pgf_test.nc4"), grid,
+        cell_range=(grid.n_padded - 8, grid.n_padded))
+    assert prov.n_real == 0
+    blk = prov(1901, 1, 4)
+    arr = np.asarray(blk.tas)
+    assert arr.shape == (4, 8)
+    assert np.all(np.isfinite(arr)) and np.all(arr > 100.0)
+
+
 def test_netcdf_provider_with_prefetch(pgf_archive):
     tmp, mask, data = pgf_archive
     grid = make_land_grid(mask, 12.0, pad_multiple=32)

@@ -47,6 +47,76 @@ def _launch(cfg_path, env_extra):
         stderr=subprocess.STDOUT, text=True)
 
 
+def _make_pgf_archive(dir_path, ny, nx, ndays=365, seed=3):
+    """Tiny full-year PGF-like archive (one .nc4 per variable)."""
+    import h5py
+
+    from hybrid9_tpu.data.forcing import PGF_VARIABLES
+    rng = np.random.RandomState(seed)
+    base = {"tas": 278.0, "rlds": 300.0, "rsds": 180.0, "huss": 0.006,
+            "ps": 1.0e5, "pr": 3.0e-5, "rhs": 60.0}
+    os.makedirs(dir_path, exist_ok=True)
+    for var in PGF_VARIABLES:
+        arr = (base[var] * (1.0 + 0.1 * rng.rand(ndays, ny, nx))
+               ).astype(np.float32)
+        with h5py.File(os.path.join(dir_path, f"{var}_test.nc4"),
+                       "w") as f:
+            f.create_dataset(var, data=arr)
+    return os.path.join(dir_path, "{var}_test.nc4")
+
+
+def test_two_process_pgf_reads_are_spatially_narrowed(tmp_path):
+    """2-process PGF run: each process hyperslabs ONLY its own lat-row
+    band (< 60% of rows for a 2-way split; READ_NET_CDF_3DR.f90:95-97)
+    and the stitched output equals the single-process run."""
+    pytest.importorskip("h5py")
+    from hybrid9_tpu.io import netcdf
+
+    pattern = _make_pgf_archive(str(tmp_path / "pgf"), ny=15, nx=30)
+    base = dict(CFG, forcing="pgf", forcing_path=pattern)
+
+    out_single = str(tmp_path / "single")
+    p1 = str(tmp_path / "cfg1.json")
+    with open(p1, "w") as f:
+        json.dump(dict(base, output_path=out_single), f)
+    r = _launch(p1, {})
+    out, _ = r.communicate(timeout=900)
+    assert r.returncode == 0, f"single-process run failed:\n{out[-4000:]}"
+
+    out_multi = str(tmp_path / "multi")
+    p2 = str(tmp_path / "cfg2.json")
+    with open(p2, "w") as f:
+        json.dump(dict(base, output_path=out_multi), f)
+    port = _free_port()
+    procs = [_launch(p2, {"JAX_NUM_PROCESSES": "2",
+                          "JAX_PROCESS_ID": str(pid),
+                          "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}"})
+             for pid in range(2)]
+    outs = [r.communicate(timeout=900)[0] for r in procs]
+    for i, r in enumerate(procs):
+        assert r.returncode == 0, f"process {i} failed:\n{outs[i][-4000:]}"
+
+    # Each process logged its narrowed read band; assert a strict subset.
+    import re
+    for i, text in enumerate(outs):
+        m = re.search(r"pgf shard read band: rows \[(\d+), (\d+)\) of "
+                      r"(\d+)", text)
+        assert m, f"process {i} did not log its read band:\n{text[-2000:]}"
+        lo, hi, ny = (int(g) for g in m.groups())
+        frac = (hi - lo) / ny
+        assert frac < 0.60, \
+            f"process {i} read {frac:.0%} of rows — not narrowed"
+
+    single = netcdf.read_grid_file(
+        os.path.join(out_single, "axy1901.nc"), ["tas", "evap", "theta"])
+    multi = netcdf.read_grid_file(
+        os.path.join(out_multi, "axy1901.nc"), ["tas", "evap", "theta"])
+    for name in single:
+        np.testing.assert_allclose(
+            np.nan_to_num(multi[name]), np.nan_to_num(single[name]),
+            rtol=2e-5, atol=1e-6, err_msg=f"PGF 2-process mismatch {name}")
+
+
 def test_two_process_run_matches_single(tmp_path):
     from hybrid9_tpu.io import netcdf
 
