@@ -78,7 +78,12 @@ def cmd_run(args: argparse.Namespace) -> int:
         template = initial_state(params, lg.dz, lg.zi,
                                  jnp.dtype(cfg.dtype))
         ck = Checkpointer(cfg.checkpoint_path)
-        year, state = ck.restore(template)
+        # Multi-host: restore SHARDED so each process reads only the
+        # shards it addresses and no host materialises the global state
+        # (Simulation's put() then passes the arrays through untouched).
+        restore_sharding = (sharding if jax.process_count() > 1
+                            else None)
+        year, state = ck.restore(template, sharding=restore_sharding)
         start_year = year + 1
         cfg = Config(**{**cfg.__dict__, "start_year": start_year})
         log.info("resumed from checkpoint year %d", year)

@@ -85,7 +85,8 @@ class Checkpointer:
         return None if step is None else int(step)
 
     def restore(self, template: ModelState,
-                year: Optional[int] = None) -> Tuple[int, ModelState]:
+                year: Optional[int] = None,
+                sharding=None) -> Tuple[int, ModelState]:
         """Restore the checkpoint at ``year`` (default latest).
 
         ``template`` provides shapes/dtypes/shardings for the restored
@@ -94,10 +95,32 @@ class Checkpointer:
         addition of ``swe``/``h2osoi_ice``/``snowpack``), the missing
         fields take the template's values (pass a fresh initial state
         so they restore to physical defaults) instead of failing.
+
+        ``sharding`` (a :class:`parallel.sharding.CellSharding`) makes the
+        restore *sharded*: every leaf comes back as a global jax.Array
+        cell-sharded over the mesh, with each process reading only the
+        shards it addresses — the restore-side analog of the per-rank
+        hyperslab reads (READ_NET_CDF_3DR.f90:95-97).  This is REQUIRED
+        for multi-host resume: no host ever materialises the global
+        state.  Schema migration is not available on this path (the
+        checkpoint must match the current state schema).
         """
+        import jax.numpy as jnp
+
         step = year if year is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.path}")
+        if sharding is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.asarray(x).dtype,
+                    sharding=sharding.spec_for(x)), template)
+            state = self.manager.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+            log.info("restored sharded checkpoint for year %d "
+                     "(process %d reads only its own shards)", step,
+                     jax.process_index())
+            return int(step), state
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, template)
         try:

@@ -59,6 +59,10 @@ def host_shard_bounds(n: int) -> tuple[int, int]:
     p = jax.process_count()
     i = jax.process_index()
     if n % p != 0:
-        raise ValueError(f"cell count {n} not divisible by host count {p}")
+        raise ValueError(
+            f"padded cell count {n} not divisible by host count {p}; "
+            f"set Config.cell_block to a multiple of {p} (cells are "
+            f"padded to a cell_block multiple, so any such block size "
+            f"makes the shard split exact)")
     per = n // p
     return i * per, (i + 1) * per

@@ -72,8 +72,13 @@ class CellSharding:
         from .launch import host_shard_bounds
 
         def one(x):
-            x = np.asarray(x)
             spec = self.spec_for(x)
+            if isinstance(x, jax.Array) and x.sharding == spec:
+                # Already a correctly-sharded global array (e.g. a
+                # sharded checkpoint restore): np.asarray would fail on
+                # the non-addressable shards, and no data needs to move.
+                return x
+            x = np.asarray(x)
             if x.ndim == 0:
                 return jax.make_array_from_process_local_data(
                     spec, x, x.shape)

@@ -34,17 +34,34 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(cfg_path, env_extra):
+def _launch(cfg_path, env_extra, devices_per_proc=2, extra_args=()):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                        f"{devices_per_proc}")
     env.update(env_extra)
     return subprocess.Popen(
         [sys.executable, "-m", "hybrid9_tpu", "run", "--config", cfg_path,
          "--shard", "--platform", "cpu", "--cache-dir",
-         os.path.join(REPO, ".jax_cache_cpu")],
+         os.path.join(REPO, ".jax_cache_cpu"), *extra_args],
         cwd=REPO, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
+
+
+def _launch_group(cfg_path, n_procs, devices_per_proc=2, extra_args=()):
+    """Launch an n-process distributed group; returns (procs, outs)."""
+    port = _free_port()
+    procs = [_launch(cfg_path,
+                     {"JAX_NUM_PROCESSES": str(n_procs),
+                      "JAX_PROCESS_ID": str(pid),
+                      "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}"},
+                     devices_per_proc=devices_per_proc,
+                     extra_args=extra_args)
+             for pid in range(n_procs)]
+    outs = [r.communicate(timeout=900)[0] for r in procs]
+    for i, r in enumerate(procs):
+        assert r.returncode == 0, f"process {i} failed:\n{outs[i][-4000:]}"
+    return procs, outs
 
 
 def _make_pgf_archive(dir_path, ny, nx, ndays=365, seed=3):
@@ -115,6 +132,109 @@ def test_two_process_pgf_reads_are_spatially_narrowed(tmp_path):
         np.testing.assert_allclose(
             np.nan_to_num(multi[name]), np.nan_to_num(single[name]),
             rtol=2e-5, atol=1e-6, err_msg=f"PGF 2-process mismatch {name}")
+
+
+def test_two_process_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Multi-host resume (VERDICT r2 item 3): run year 1 under 2
+    processes with checkpointing, stop, resume with ``--resume --shard``
+    (each process restores ONLY its own shards via the sharded Orbax
+    restore), and the year-2 annual file must be bitwise-equal to an
+    uninterrupted 2-process run.  The reference has no checkpointing at
+    all (SURVEY.md §5) — this is the repo's own headline feature in its
+    own headline parallel mode."""
+    from hybrid9_tpu.io import netcdf
+
+    # --- uninterrupted 2-process run, 1901-1902 -------------------------
+    out_full = str(tmp_path / "full")
+    cfg_full = dict(CFG, end_year=1902, output_path=out_full,
+                    checkpoint_every_years=1,
+                    checkpoint_path=str(tmp_path / "ck_full"))
+    p_full = str(tmp_path / "cfg_full.json")
+    with open(p_full, "w") as f:
+        json.dump(cfg_full, f)
+    _launch_group(p_full, 2)
+
+    # --- interrupted: 1901 only, checkpoint written ----------------------
+    out_resume = str(tmp_path / "resume")
+    ck_path = str(tmp_path / "ck_resume")
+    cfg_y1 = dict(CFG, end_year=1901, output_path=out_resume,
+                  checkpoint_every_years=1, checkpoint_path=ck_path)
+    p_y1 = str(tmp_path / "cfg_y1.json")
+    with open(p_y1, "w") as f:
+        json.dump(cfg_y1, f)
+    _launch_group(p_y1, 2)
+    assert os.path.isdir(ck_path) and os.listdir(ck_path)
+
+    # --- resume through 1902 under 2 fresh processes ----------------------
+    cfg_y2 = dict(CFG, end_year=1902, output_path=out_resume,
+                  checkpoint_every_years=1, checkpoint_path=ck_path)
+    p_y2 = str(tmp_path / "cfg_y2.json")
+    with open(p_y2, "w") as f:
+        json.dump(cfg_y2, f)
+    _, outs = _launch_group(p_y2, 2, extra_args=("--resume",))
+    for text in outs:
+        assert "restored sharded checkpoint for year 1901" in text, \
+            f"resume did not use the sharded restore:\n{text[-2000:]}"
+
+    fields = ["tas", "npp", "rnf", "evap", "theta", "theta_total",
+              "max_abs_residual"]
+    full = netcdf.read_grid_file(os.path.join(out_full, "axy1902.nc"),
+                                 fields)
+    res = netcdf.read_grid_file(os.path.join(out_resume, "axy1902.nc"),
+                                fields)
+    for name in fields:
+        np.testing.assert_array_equal(
+            np.nan_to_num(res[name]), np.nan_to_num(full[name]),
+            err_msg=f"resumed year-2 file differs in {name}")
+
+
+def test_four_process_run_matches_single(tmp_path):
+    """4-process scaling rehearsal (VERDICT r2 item 6): the stitcher
+    consumes 4 part-files and the result equals a single-process run."""
+    from hybrid9_tpu.io import netcdf
+
+    out_single = str(tmp_path / "single")
+    p1 = str(tmp_path / "cfg1.json")
+    with open(p1, "w") as f:
+        json.dump(dict(CFG, output_path=out_single), f)
+    r = _launch(p1, {})
+    out, _ = r.communicate(timeout=900)
+    assert r.returncode == 0, f"single-process run failed:\n{out[-4000:]}"
+
+    out_multi = str(tmp_path / "multi")
+    p4 = str(tmp_path / "cfg4.json")
+    with open(p4, "w") as f:
+        json.dump(dict(CFG, output_path=out_multi), f)
+    _launch_group(p4, 4, devices_per_proc=1)
+
+    for pid in range(4):
+        assert not os.path.exists(
+            os.path.join(out_multi, f"axy1901.part{pid}.nc"))
+    fields = ["tas", "evap", "theta", "max_abs_residual"]
+    single = netcdf.read_grid_file(
+        os.path.join(out_single, "axy1901.nc"), fields)
+    multi = netcdf.read_grid_file(
+        os.path.join(out_multi, "axy1901.nc"), fields)
+    for name in fields:
+        np.testing.assert_allclose(
+            np.nan_to_num(multi[name]), np.nan_to_num(single[name]),
+            rtol=2e-5, atol=1e-6,
+            err_msg=f"4-process vs 1-process mismatch in {name}")
+
+
+def test_host_shard_bounds_indivisible_error(monkeypatch):
+    """Indivisible cell counts fail with an actionable message instead of
+    a silent mis-split (VERDICT r2 item 6)."""
+    import jax
+
+    from hybrid9_tpu.parallel import launch
+
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    with pytest.raises(ValueError, match="multiple of 3"):
+        launch.host_shard_bounds(64)
+    lo, hi = launch.host_shard_bounds(96)
+    assert (lo, hi) == (32, 64)
 
 
 def test_two_process_run_matches_single(tmp_path):
