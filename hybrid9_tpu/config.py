@@ -169,6 +169,13 @@ class Config:
                                       # "muskingum" (Muskingum-Cunge,
                                       # per-reach geometry).
     routing_k: float = 0.2            # Linear-reservoir release per day.
+    routing_form: str = "packed"      # "packed": segment-sum over the
+                                      # packed cell axis (1-D sharding).
+                                      # "grid": dense [ny, nx] halo-
+                                      # exchange form — per-direction
+                                      # rolls lower to collective-permute
+                                      # halos under a sharded mesh
+                                      # (kinematic scheme only).
     routing_network_path: Optional[str] = None  # NetCDF with 'flowdir'
                                       # (ESRI D8) and/or 'elevation' (m)
                                       # at model resolution; None =

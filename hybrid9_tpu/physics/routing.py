@@ -276,6 +276,67 @@ class GridKinematicParams:
                                      metadata=dict(static=True))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridRouting:
+    """Production (packed-axis) wrapper around the dense halo router.
+
+    Selected by ``Config.routing_form = "grid"``: the day's packed
+    ``[n]`` runoff is scattered onto the dense ``[ny, nx]`` grid, routed
+    by :func:`route_kinematic_day_grid` (whose per-direction rolls lower
+    to collective-permute halo exchanges under a 2-D or row sharding),
+    and the updated store/discharge are gathered back to the packed
+    axis.  The scatter/gather pair is the one resharding per day between
+    the 1-D cell sharding and the dense grid layout.
+
+    ``flat_idx[n]``: flattened ``ny*nx`` grid index of each packed lane;
+    padding lanes point at ``dump_idx`` (an ocean cell) and contribute
+    zeros.  ``dense_sharding`` (optional, static) pins the dense
+    intermediates' layout so the halos actually cross shard boundaries
+    instead of GSPMD replicating the grid.
+    """
+
+    params: GridKinematicParams
+    flat_idx: jnp.ndarray             # [n] int32 flattened grid index
+    n_land: int = dataclasses.field(default=0,
+                                    metadata=dict(static=True))
+    ny: int = dataclasses.field(default=0, metadata=dict(static=True))
+    nx: int = dataclasses.field(default=0, metadata=dict(static=True))
+    dense_sharding: object = dataclasses.field(
+        default=None, metadata=dict(static=True))
+
+
+def route_grid_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
+                   r: GridRouting) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One day of halo-exchange routing on the packed axis.
+
+    Scatter packed -> dense, run the roll/ppermute kinematic router,
+    gather dense -> packed.  Semantics match
+    :func:`route_kinematic_day` on the same network (same topology and
+    celerity law; tests/test_routing.py equivalence).
+    """
+    lane = jnp.arange(store.shape[0])
+    real = lane < r.n_land
+    s_m = jnp.where(real, store, 0.0)
+    l_m = jnp.where(real, local_runoff_mm, 0.0)
+    nyx = r.ny * r.nx
+    dense_s = jnp.zeros((nyx,), store.dtype).at[r.flat_idx].set(
+        s_m, mode="drop").reshape(r.ny, r.nx)
+    dense_l = jnp.zeros((nyx,), store.dtype).at[r.flat_idx].set(
+        l_m, mode="drop").reshape(r.ny, r.nx)
+    if r.dense_sharding is not None:
+        dense_s = jax.lax.with_sharding_constraint(dense_s,
+                                                   r.dense_sharding)
+        dense_l = jax.lax.with_sharding_constraint(dense_l,
+                                                   r.dense_sharding)
+    s2, dis = route_kinematic_day_grid(dense_s, dense_l, r.params)
+    flat_s2 = s2.reshape(-1)
+    flat_d = dis.reshape(-1)
+    new_store = jnp.where(real, flat_s2[r.flat_idx], store)
+    discharge = jnp.where(real, flat_d[r.flat_idx], 0.0)
+    return new_store, discharge
+
+
 def route_kinematic_day_grid(store: jnp.ndarray, local_mm: jnp.ndarray,
                              p: GridKinematicParams
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:

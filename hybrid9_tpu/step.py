@@ -332,10 +332,13 @@ def _route(river_store, diags, routing):
     if routing is None:
         diags = dict(diags, discharge=jnp.zeros_like(river_store))
         return river_store, diags
-    from .physics.routing import (KinematicParams, MuskingumParams,
-                                  route_daily, route_kinematic_day,
+    from .physics.routing import (GridRouting, KinematicParams,
+                                  MuskingumParams, route_daily,
+                                  route_grid_day, route_kinematic_day,
                                   route_muskingum_day)
-    if isinstance(routing, MuskingumParams):
+    if isinstance(routing, GridRouting):
+        route = route_grid_day
+    elif isinstance(routing, MuskingumParams):
         route = route_muskingum_day
     elif isinstance(routing, KinematicParams):
         route = route_kinematic_day

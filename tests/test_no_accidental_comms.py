@@ -123,3 +123,71 @@ def test_sharded_pallas_day_has_no_collectives(layer_grid):
     hits = sorted(set(_COLLECTIVE_RE.findall(text)))
     assert not hits, (
         f"sharded Pallas day step contains collectives {hits}")
+
+
+def test_grid_routing_halos_are_collective_permutes(layer_grid):
+    """The production grid-routing path (Config.routing_form='grid' ->
+    GridRouting in _route) must exchange water through collective-permute
+    HALOS inside the substep loop; the only all-gather/all-reduce allowed
+    is the once-per-day packed<->dense resharding in the entry
+    computation (VERDICT r2 item 4)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from hybrid9_tpu.grids.grid import make_land_grid, synthetic_land_mask
+    from hybrid9_tpu.grids.routing import (build_downstream_index,
+                                           direction_codes, flow_length_m)
+    from hybrid9_tpu.physics.routing import (GridKinematicParams,
+                                             GridRouting)
+    from hybrid9_tpu.step import day_step
+
+    # 1.5-degree grid: ny=120 rows divide the 8-device mesh.
+    mask = synthetic_land_mask(resolution_deg=1.5, seed=1)
+    grid = make_land_grid(mask, 1.5, pad_multiple=64)
+    down = build_downstream_index(grid)
+    codes = direction_codes(grid, down)
+    length_g = grid.scatter(flow_length_m(grid, down), fill=1.0)
+    cs = CellSharding.create()
+    dense_sh = NamedSharding(cs.mesh, P(cs.axis, None))
+
+    flat_idx = np.full(grid.n_padded, -1, np.int64)
+    flat_idx[:grid.n_land] = grid.land_idx
+    land_flat = np.zeros(grid.ny * grid.nx, bool)
+    land_flat[grid.land_idx] = True
+    flat_idx[grid.n_land:] = int(np.flatnonzero(~land_flat)[0])
+    routing = GridRouting(
+        params=GridKinematicParams(
+            dir_code=jax.device_put(jnp.asarray(codes), dense_sh),
+            flow_length=jax.device_put(
+                jnp.asarray(length_g, jnp.float32), dense_sh),
+            n_substeps=4),
+        flat_idx=cs.put(jnp.asarray(flat_idx, jnp.int32)),
+        n_land=grid.n_land, ny=grid.ny, nx=grid.nx,
+        dense_sharding=dense_sh)
+
+    _, state, forcing, params, geom, cfg = ge._build(grid.n_padded)
+    state = cs.put(state)
+    forcing = cs.put(forcing)
+    params = cs.put(params)
+
+    def fn(state, forcing):
+        st, diags = day_step(state, forcing, params, geom, cfg.dt, 4,
+                             routing=routing)
+        return st, diags["discharge"]
+
+    text = _compiled_text(fn, state, forcing)
+    assert "collective-permute" in text, \
+        "grid routing compiled without halo exchanges"
+    # Any gather-style collective must sit in the entry computation (the
+    # one-per-day resharding), never inside a loop body.
+    for comp in text.split("\n\n"):
+        lines = comp.splitlines()
+        if not lines or lines[0].lstrip().startswith("ENTRY"):
+            continue
+        hits = sorted(set(re.findall(r"all-gather|all-to-all", comp)))
+        assert not hits, (
+            f"gather collectives {hits} inside non-entry computation "
+            f"{lines[0][:80]!r} — halos should be collective-permutes")
+    st, dis = jax.jit(fn)(state, forcing)
+    assert np.all(np.isfinite(np.asarray(dis)))

@@ -631,3 +631,47 @@ def test_flowdir_only_slope_uses_flints_law(tmp_path):
     acc = np.asarray(flow_accumulation(grid, down)[:grid.n_land])
     s = got[:grid.n_land]
     assert s[np.argmax(acc)] <= s[np.argmin(acc)]
+
+
+def test_grid_routing_form_production_path():
+    """``Config.routing_form='grid'`` builds the halo-exchange router in
+    Simulation and its annual discharge matches ``routing_form='packed'``
+    on the same network (the production promotion of the router-level
+    equivalence above)."""
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.forcing import SyntheticForcingProvider
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.physics.routing import GridRouting
+    from hybrid9_tpu.run import Simulation
+
+    base = dict(resolution_deg=12.0, start_year=1901, end_year=1901,
+                forcing_block_days=366, cell_block=32, nisurf=4,
+                use_pallas=False, frozen_soil=False, snow=False,
+                routing_scheme="kinematic", lateral_groundwater=False)
+    results = {}
+    for form in ("packed", "grid"):
+        cfg = Config(**base, routing_form=form)
+        grid, params = load_soil(cfg)
+        provider = SyntheticForcingProvider(grid.n_padded, seed=4,
+                                            lat=grid.cell_lat)
+        sim = Simulation(cfg, params, land_grid=grid)
+        if form == "grid":
+            assert isinstance(sim.routing, GridRouting)
+        m = sim.run_year(1901, provider)
+        results[form] = m["discharge"][:grid.n_land]
+    np.testing.assert_allclose(results["grid"], results["packed"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_routing_form_requires_kinematic():
+    import pytest
+
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.run import Simulation
+
+    cfg = Config(resolution_deg=12.0, cell_block=32, use_pallas=False,
+                 routing_scheme="muskingum", routing_form="grid")
+    grid, params = load_soil(cfg)
+    with pytest.raises(ValueError, match="routing_form='grid'"):
+        Simulation(cfg, params, land_grid=grid)
