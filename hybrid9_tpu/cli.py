@@ -128,6 +128,24 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     sim = Simulation(cfg, params, state=state, sharding=sharding,
                      land_grid=grid)
+    if cfg.write_annual and jax.process_index() == 0 and not args.resume:
+        # Init-time diagnostic artifacts, as the reference writes at
+        # INIT (psi_s.nc INIT.f90:686-689; chunk.nc/soil_tex.nc
+        # INIT.f90:823-835).
+        from .io.writer import write_init_diagnostics
+        write_init_diagnostics(
+            cfg.output_path, grid, params,
+            n_shards=sharding.n_devices if sharding is not None else 1)
+    if args.spinup_carbon:
+        # Equilibrate the carbon (and vegetation) pools under the start
+        # year's repeated climate before the production integration
+        # (spinup.py; the reference's spin-up was a manual repeat-run
+        # loop in LCLIM site mode only, HYBRID9.f90:341).
+        from .spinup import spinup_carbon
+        rep = spinup_carbon(sim, provider,
+                            max_loops=args.spinup_carbon,
+                            tol_slow=args.spinup_tol)
+        log.info("carbon spin-up: %s", rep)
     writer = None
     if cfg.write_annual:
         if multihost:
@@ -146,18 +164,36 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 def cmd_site(args: argparse.Namespace) -> int:
     from .config import Config
-    from .site import (read_site_climate_csv, read_site_subdaily_csv,
-                       run_site)
+    from .site import (VAIRA_LAI_WAYPOINTS, read_lclim_daily_csv,
+                       read_lclim_subdaily_csv, read_site_climate_csv,
+                       read_site_subdaily_csv, run_site)
 
     cfg = Config(spinup_years=args.spinup, nisurf=args.nisurf)
     climate = None
-    if args.climate:
+    lai_waypoints = None
+    grow = True
+    obs_daily = None
+    if args.lclim_daily:
+        # Reference-format positional LCLIM files (HYBRID9.f90:368-460):
+        # drop-in for a reference-era site record, with the embedded
+        # Vaira LAI phenology (prescribed LAI -> growth off, as the
+        # reference's LCLIM mode).
+        climate, obs_daily = read_lclim_daily_csv(args.lclim_daily)
+        if args.lclim_year and args.lclim_year in VAIRA_LAI_WAYPOINTS:
+            lai_waypoints = VAIRA_LAI_WAYPOINTS[args.lclim_year]
+            grow = False
+    elif args.climate:
         climate = read_site_climate_csv(args.climate)
     subdaily = None
-    if args.subdaily:
+    if args.lclim_subdaily:
+        subdaily = read_lclim_subdaily_csv(args.lclim_subdaily,
+                                           cfg.nisurf)
+    elif args.subdaily:
         subdaily = read_site_subdaily_csv(args.subdaily, cfg.nisurf)
     result = run_site(cfg, climate=climate, subdaily=subdaily,
-                      csv_out=args.csv_out, engine=args.engine)
+                      lai_waypoints=lai_waypoints, grow=grow,
+                      csv_out=args.csv_out, engine=args.engine,
+                      evap_obs_daily=obs_daily)
     worst = max(r["max_residual"] for r in result.daily)
     log.info("site run done (engine=%s): %d days, final LAI %.3f, "
              "max|residual| %.3g mm", args.engine, len(result.daily),
@@ -165,11 +201,196 @@ def cmd_site(args: argparse.Namespace) -> int:
     return 0
 
 
+def _single_host_provider(cfg, grid):
+    """The forcing provider a single-process auxiliary run uses
+    (calibrate/ensemble: no multi-host assembly, no prefetch thread)."""
+    if cfg.forcing == "pgf" and cfg.forcing_path:
+        from .data.forcing import NetCDFForcingProvider
+        return NetCDFForcingProvider(cfg.forcing_path, grid)
+    from .data.forcing import SyntheticForcingProvider
+    return SyntheticForcingProvider(grid.n_padded, seed=0,
+                                    lat=grid.cell_lat)
+
+
+def _stacked_forcing(cfg, grid, n_days: int):
+    """A ``[days, n]`` Forcing pytree for the config's start year."""
+    provider = _single_host_provider(cfg, grid)
+    return provider(cfg.start_year, 1, n_days)
+
+
+def cmd_calibrate_global(args: argparse.Namespace) -> int:
+    """Calibrate on the REAL configured model (--config): load_soil
+    parameters, the production grid, optionally per-cell multipliers —
+    a spatial parameter inversion, not just the single-column fit.
+
+    Observations: ``--obs-npz`` (arrays ``et`` [days, n_land], optional
+    ``mask``) or ``--obs-twin LOGMULT`` (twin experiment: observations
+    generated by the model itself under a known hksat log-multiplier,
+    fit from zero — the standard identifiability check)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .calibrate import (CalibrationSpec, apply_multipliers,
+                            calibrate, simulate_daily_et)
+    from .config import Config
+    from .data.soil import load_soil
+    from .physics.hydrology import Geometry
+    from .state import initial_state
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = Config.from_json(open(args.config).read())
+    grid, params = load_soil(cfg)
+    lg = cfg.layer_grid()
+    dtype = jnp.dtype(cfg.dtype)
+    nl = lg.nsoil
+    state0 = initial_state(params, lg.dz, lg.zi, dtype)
+    geom = Geometry(zi=tuple(map(float, lg.zi)),
+                    dz_soil=tuple(map(float, lg.dz[:nl])),
+                    zc_soil=tuple(map(float, lg.zc[:nl])))
+    ndays = args.days
+    forcing = _stacked_forcing(cfg, grid, ndays)
+    n = grid.n_padded
+    fields = tuple(args.fields.split(","))
+    spec = CalibrationSpec(fields=fields, per_cell=args.per_cell)
+
+    mask = np.zeros((ndays, n), bool)
+    mask[:, :grid.n_land] = True       # padding lanes carry no obs
+    if args.obs_npz:
+        with np.load(args.obs_npz) as d:
+            et = np.asarray(d["et"], np.float64)
+            if et.shape != (ndays, grid.n_land):
+                raise SystemExit(
+                    f"--obs-npz et shape {et.shape} != "
+                    f"({ndays}, {grid.n_land}) (days, n_land)")
+            obs = np.zeros((ndays, n))
+            obs[:, :grid.n_land] = et
+            if "mask" in d:
+                mask[:, :grid.n_land] &= np.asarray(d["mask"], bool)
+    elif args.obs_twin is not None:
+        true_theta = {f: jnp.full((n,) if args.per_cell else (),
+                                  float(args.obs_twin), dtype)
+                      for f in fields}
+        obs = np.asarray(simulate_daily_et(
+            true_theta, params, state0, forcing, geom, cfg.nisurf))
+        log.info("twin experiment: obs generated at log-multiplier "
+                 "%.3f on %s", args.obs_twin, ",".join(fields))
+    else:
+        raise SystemExit("global calibrate needs --obs-npz or "
+                         "--obs-twin")
+
+    res = calibrate(params, state0, forcing, geom,
+                    jnp.asarray(obs, dtype), spec=spec,
+                    nisurf=cfg.nisurf, steps=args.steps,
+                    learning_rate=args.lr,
+                    obs_mask=jnp.asarray(mask))
+    hist = np.asarray(res.loss_history)
+    log.info("global calibrate: %d cells (%d land), %d days, "
+             "per_cell=%s, loss %.4g -> %.4g (%d steps)", n,
+             grid.n_land, ndays, args.per_cell, hist[0], hist[-1],
+             args.steps)
+    theta_np = {k: np.asarray(v) for k, v in res.theta.items()}
+    if args.obs_twin is not None:
+        for k, v in theta_np.items():
+            land = v[:grid.n_land] if v.ndim else v
+            log.info("  %s: fitted log-mult mean %.4f (true %.4f)",
+                     k, float(np.mean(land)), args.obs_twin)
+    if args.out:
+        if args.per_cell:
+            np.savez(args.out,
+                     **{k: np.exp(v) for k, v in theta_np.items()},
+                     loss_history=hist, n_land=grid.n_land)
+        else:
+            with open(args.out, "w") as f:
+                json.dump({"multipliers": {k: float(np.exp(v))
+                                           for k, v in theta_np.items()},
+                           "loss_initial": float(hist[0]),
+                           "loss_final": float(hist[-1])}, f, indent=2)
+        log.info("wrote %s", args.out)
+    return 0
+
+
+def cmd_ensemble(args: argparse.Namespace) -> int:
+    """Run a parameter-perturbed ensemble of the configured global year
+    in ONE vmapped kernel (ensemble.py) and write spread diagnostics —
+    the closed-form version of the reference's one-SLURM-job-per-member
+    workflow (notes.txt's /save1../save6 output dirs diffed by hand)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import Config
+    from .data.soil import load_soil
+    from .ensemble import perturbed_multipliers, run_ensemble_annual
+    from .io import netcdf
+    from .physics.hydrology import Geometry
+    from .state import initial_state
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    cfg = Config.from_json(open(args.config).read())
+    grid, params = load_soil(cfg)
+    lg = cfg.layer_grid()
+    dtype = jnp.dtype(cfg.dtype)
+    nl = lg.nsoil
+    state0 = initial_state(params, lg.dz, lg.zi, dtype)
+    geom = Geometry(zi=tuple(map(float, lg.zi)),
+                    dz_soil=tuple(map(float, lg.dz[:nl])),
+                    zc_soil=tuple(map(float, lg.zc[:nl])))
+    import hybrid9_tpu.calendar as calendar
+    ndays = args.days or calendar.days_in_year(cfg.start_year)
+    forcing = _stacked_forcing(cfg, grid, ndays)
+    fields = tuple(args.fields.split(","))
+    theta = perturbed_multipliers(jax.random.PRNGKey(args.seed),
+                                  args.members, fields=fields,
+                                  sigma=args.sigma)
+    theta = {k: v.astype(dtype) for k, v in theta.items()}
+
+    t0 = time.perf_counter()
+    out = run_ensemble_annual(theta, params, state0, forcing, geom,
+                              nisurf=cfg.nisurf,
+                              vegetation=cfg.vegetation)
+    # Close the timed region with a D2H read (PERFORMANCE.md rule).
+    out = {k: np.asarray(v) for k, v in out.items()}
+    elapsed = time.perf_counter() - t0
+    log.info("ensemble: %d members x %d cells x %d days in %.2fs "
+             "(one vmapped kernel, incl. compile)", args.members,
+             grid.n_padded, ndays, elapsed)
+
+    fields_nc = {}
+    for name, stacked in out.items():
+        mean = np.mean(stacked, axis=0)
+        std = np.std(stacked, axis=0)
+        fields_nc[f"{name}_mean"] = grid.scatter(
+            mean.astype(np.float64))
+        fields_nc[f"{name}_std"] = grid.scatter(std.astype(np.float64))
+        fields_nc[f"{name}_control"] = grid.scatter(
+            stacked[0].astype(np.float64))   # member 0 = unperturbed
+    path = args.out or "ensemble.nc"
+    netcdf.write_grid_file(path, fields_nc, grid.lon, grid.lat)
+    log.info("wrote %s (%d members, sigma=%.2f on %s)", path,
+             args.members, args.sigma, ",".join(fields))
+    return 0
+
+
 def cmd_calibrate(args: argparse.Namespace) -> int:
     """Fit soil-parameter multipliers to observed daily ET by adjoint
     (calibrate.py): the closed-loop version of the reference's manual
     LCLIM model-vs-obs comparison (HYBRID9.f90:449; notes.txt's hand
-    parameter sweeps).  Runs on the single-column site configuration."""
+    parameter sweeps).  Runs on the single-column site configuration,
+    or on the real configured global model with ``--config``
+    (cmd_calibrate_global)."""
+    if args.config:
+        return cmd_calibrate_global(args)
     import json
 
     import jax
@@ -314,6 +535,14 @@ def main(argv=None) -> int:
     pr.add_argument("--focus", default=None, metavar="SITE|LON,LAT",
                     help="INTERACTIVE mode: daily CSV for one focus cell "
                          "(site name from site.DEBUG_SITES or lon,lat)")
+    pr.add_argument("--spinup-carbon", type=int, default=0,
+                    metavar="MAX_YEARS",
+                    help="equilibrate carbon/vegetation pools under the "
+                         "start year's repeated climate before the run "
+                         "(semi-analytic spin-up; needs Config.carbon)")
+    pr.add_argument("--spinup-tol", type=float, default=1.0,
+                    help="spin-up convergence: max |d slow pool| per "
+                         "rehearsal year, g C/m^2/yr")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("site", help="single-column site simulation")
@@ -321,6 +550,18 @@ def main(argv=None) -> int:
     ps.add_argument("--subdaily",
                     help="sub-daily observation CSV (doy, step, tak, rh, "
                          "rnet, par, ppt, evap_obs)")
+    ps.add_argument("--lclim-daily",
+                    help="reference-format positional daily LCLIM file "
+                         "(doy, evap_obs, pr, tas, rh, huss, ps; "
+                         "HYBRID9.f90:368-379)")
+    ps.add_argument("--lclim-subdaily",
+                    help="reference-format positional 37-column "
+                         "sub-daily LCLIM file (HYBRID9.f90:426-460)")
+    ps.add_argument("--lclim-year", type=int, default=None,
+                    help="calendar year of the LCLIM record: selects "
+                         "the reference's embedded Vaira LAI phenology "
+                         "(2002/2003) and disables growth, as LCLIM "
+                         "mode does")
     ps.add_argument("--csv-out", default="site_daily.csv")
     ps.add_argument("--spinup", type=int, default=0)
     ps.add_argument("--nisurf", type=int, default=48)
@@ -332,7 +573,27 @@ def main(argv=None) -> int:
 
     pc = sub.add_parser("calibrate",
                         help="fit soil parameters to observed ET "
-                             "(adjoint/Adam, single column)")
+                             "(adjoint/Adam; single column, or the "
+                             "real global model with --config)")
+    pc.add_argument("--config", default=None,
+                    help="global Config JSON: calibrate the real "
+                         "load_soil parameter set on the production "
+                         "grid instead of a synthetic column")
+    pc.add_argument("--per-cell", action="store_true",
+                    help="(global mode) one multiplier per cell "
+                         "(spatial inversion) instead of one scalar "
+                         "per field")
+    pc.add_argument("--days", type=int, default=60,
+                    help="(global mode) days of forcing in the fit "
+                         "window")
+    pc.add_argument("--obs-npz",
+                    help="(global mode) observations: npz with 'et' "
+                         "[days, n_land] (mm/day) and optional 'mask'")
+    pc.add_argument("--obs-twin", type=float, default=None,
+                    metavar="LOGMULT",
+                    help="(global mode) twin experiment: generate obs "
+                         "from the model under this known log-"
+                         "multiplier and fit from zero")
     pc.add_argument("--climate", help="daily climate CSV (site format)")
     pc.add_argument("--obs", help="observed daily ET CSV (doy, evap_obs "
                                   "in mm/day)")
@@ -348,6 +609,26 @@ def main(argv=None) -> int:
                     help="write fitted multipliers to this JSON file")
     pc.add_argument("--platform", default=None)
     pc.set_defaults(fn=cmd_calibrate)
+
+    pe = sub.add_parser("ensemble",
+                        help="parameter-perturbed ensemble of a "
+                             "configured year in one vmapped kernel")
+    pe.add_argument("--config", required=True, help="Config JSON file")
+    pe.add_argument("--members", type=int, default=8)
+    pe.add_argument("--sigma", type=float, default=0.3,
+                    help="log-normal multiplier spread")
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--fields", default="hksat,bsw,psi_s",
+                    help="comma-separated parameters to perturb")
+    pe.add_argument("--days", type=int, default=None,
+                    help="days to integrate (default: the full start "
+                         "year)")
+    pe.add_argument("--out", default=None,
+                    help="spread-diagnostics NetCDF (default "
+                         "ensemble.nc)")
+    pe.add_argument("--platform", default=None)
+    pe.add_argument("--cache-dir", default=".jax_cache")
+    pe.set_defaults(fn=cmd_ensemble)
 
     pp = sub.add_parser("prep-soil",
                         help="preprocess raw HWSD/BNU soil archives")

@@ -123,6 +123,11 @@ def load_soil(cfg, dtype=jnp.float32,
         mask = land_selection_mask(soil_tex,
                                    np.nansum(theta_s, axis=-1))
         grid = make_land_grid(mask, cfg.resolution_deg, cfg.cell_block)
+        # Retain the texture map for the init-diagnostic dump
+        # (the reference's soil_tex.nc, INIT.f90:835).
+        import dataclasses as _dc
+        grid = _dc.replace(grid, soil_tex=np.asarray(soil_tex,
+                                                     np.float64))
         lambda_ = np.maximum(fields["lambda"], c.TRUNC)
         raw = dict(
             theta_s=grid.pack(theta_s, fill=0.4),

@@ -97,3 +97,42 @@ def ensemble_spread(x: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(mean, std) over the member axis of a stacked diagnostic."""
     return jnp.mean(x, axis=0), jnp.std(x, axis=0)
+
+
+def run_ensemble_annual(theta: Dict[str, jnp.ndarray],
+                        params: SoilParams,
+                        state0: ModelState,
+                        forcing_days: Forcing,
+                        geom: Geometry,
+                        nisurf: int = c.NISURF_DEFAULT,
+                        vegetation: bool = True
+                        ) -> Dict[str, jnp.ndarray]:
+    """Ensemble with annual totals only: memory O(members x cells).
+
+    The production-scale variant of :func:`run_ensemble` — at 0.5
+    degrees, stacking ``[members, days, n]`` dailies costs GBs of HBM,
+    so the day scan carries running sums instead (exactly the annual-
+    accumulator pattern of the production driver, step._accumulate).
+    Returns ``{"evap", "runoff", "npp"}`` as ``[members, n]`` annual
+    totals (mm/yr and g DM/yr).
+    """
+    dt = c.SDAY / nisurf
+
+    def one_member(theta_m):
+        p = apply_multipliers(params, theta_m)
+        n = state0.veg.lai.shape[0]
+        zeros = jnp.zeros((n,), state0.veg.lai.dtype)
+
+        def body(carry, f_day):
+            state, ev, rn, np_ = carry
+            state, diags = day_step(state, f_day, p, geom, dt, nisurf,
+                                    vegetation=vegetation)
+            return (state, ev + diags["evap_day"], rn + diags["rnf_day"],
+                    np_ + diags["npp"]), None
+
+        (_, ev, rn, np_), _ = jax.lax.scan(
+            body, (state0, zeros, zeros, zeros), forcing_days)
+        return ev, rn, np_
+
+    ev, rn, np_ = jax.jit(jax.vmap(one_member))(theta)
+    return dict(evap=ev, runoff=rn, npp=np_)

@@ -73,6 +73,10 @@ def write_init_diagnostics(output_path: str, land_grid: LandGrid,
             np.ones(n, np.float64), fill=0.0),
         "shard_map": land_grid.scatter(shard.astype(np.float64)),
     }
+    if land_grid.soil_tex is not None:
+        # The reference's soil_tex.nc input-mask artifact (INIT.f90:835)
+        # — available whenever the soil source carries texture classes.
+        fields["soil_tex"] = np.asarray(land_grid.soil_tex, np.float64)
     layer_dim = fields["psi_s"].shape[-1]
     netcdf.write_grid_file(path, fields, land_grid.lon, land_grid.lat,
                            units={"psi_s": "mm"}, layer_dim=layer_dim)
@@ -243,9 +247,11 @@ class FocusCSVWriter:
     """Daily CSV for the INTERACTIVE focus cell.
 
     The analog of the reference's per-day diagnostic CSV (unit 20,
-    HYBRID9.f90:221-229, header written at INIT.f90:887-891) and its
-    water-table trace (unit 98, HYDROLOGY.f90:509), merged into one file
-    ``focus_daily.csv`` under the output path.
+    HYBRID9.f90:221-229, header written at INIT.f90:887-891) in
+    ``focus_daily.csv``; when the day step supplies a per-substep
+    water-table trace (the XLA path's ``wt_substeps``), the reference's
+    unit-98 trace (HYDROLOGY.f90:509) is written alongside as
+    ``focus_wt.csv`` with one row per substep.
     """
 
     COLUMNS = ("year", "doy", "tas", "pr", "rsds", "evap", "evap_grnd",
@@ -258,16 +264,30 @@ class FocusCSVWriter:
         self.path = os.path.join(output_path, "focus_daily.csv")
         self._fh = open(self.path, "w")
         self._fh.write(",".join(self.COLUMNS) + "\n")
+        self.wt_path = os.path.join(output_path, "focus_wt.csv")
+        self._wt_fh = None
 
     def append(self, year: int, start_doy: int, rows: Dict) -> None:
         """Append one forcing block of stacked [days] focus diagnostics."""
         rows = {k: np.asarray(v) for k, v in rows.items()}
+        wt = rows.pop("wt_substeps", None)      # [days, nisurf] or absent
         ndays = len(next(iter(rows.values())))
         for d in range(ndays):
             vals = [str(year), str(start_doy + d)]
             vals += [f"{float(rows[k][d]):.6g}" for k in self.COLUMNS[2:]]
             self._fh.write(",".join(vals) + "\n")
         self._fh.flush()
+        if wt is not None:
+            if self._wt_fh is None:
+                self._wt_fh = open(self.wt_path, "w")
+                self._wt_fh.write("year,doy,step,zwt\n")
+            for d in range(ndays):
+                for s in range(wt.shape[1]):
+                    self._wt_fh.write(f"{year},{start_doy + d},{s + 1},"
+                                      f"{float(wt[d, s]):.6g}\n")
+            self._wt_fh.flush()
 
     def close(self) -> None:
         self._fh.close()
+        if self._wt_fh is not None:
+            self._wt_fh.close()

@@ -71,21 +71,35 @@ def decomposition_modifiers(t_soil: jnp.ndarray, theta: jnp.ndarray,
     return f_t, f_w
 
 
-def carbon_daily(carbon, npp_dm: jnp.ndarray, litterfall_dm: jnp.ndarray,
+def carbon_daily(carbon, production_dm: jnp.ndarray,
+                 litterfall_dm: jnp.ndarray,
                  t_soil: jnp.ndarray, theta: jnp.ndarray,
-                 theta_s: jnp.ndarray):
+                 theta_s: jnp.ndarray, return_fluxes: bool = False):
     """One day of the soil-carbon cascade.
 
     Args:
       carbon: ``state.CarbonState`` (g C/m^2 pools).
-      npp_dm, litterfall_dm: the day's NPP and plant litterfall
-        (g DM/day, from grow_daily).
+      production_dm, litterfall_dm: the day's realized plant production
+        and litterfall (g DM/day, from grow_daily's flux record).
+        Production must be the REALIZED carbon input to the plant pools
+        (grow_daily's ``v_production``: Δpools + litterfall), not the
+        reference's npp = net mass change — with realized production,
+        NEE = rh - production_C is exactly -d(total ecosystem C)/dt and
+        converges to ~0 at equilibrium; with npp it converges to
+        +litterfall_C (foliage growth is unaccounted).  See
+        DEVIATIONS.md.
       t_soil: ``[n, nl]`` soil temperature (K).
       theta, theta_s: ``[n, nl]`` volumetric water / porosity.
+      return_fluxes: also return the internal decomposition fluxes
+        (needed by the semi-analytic equilibrium spin-up, spinup.py).
 
     Returns ``(carbon', rh, nee)`` with heterotrophic respiration and
-    net ecosystem exchange in g C/m^2/day (NEE = rh - npp_C; negative =
-    carbon sink).
+    net ecosystem exchange in g C/m^2/day (NEE = rh - production_C;
+    negative = carbon sink).  With ``return_fluxes``, a fourth element: a dict of
+    the day's litter C input and the decomposed flux out of each pool
+    (all g C/m^2/day) — the per-pool turnover record from which the
+    steady state can be solved pool-by-pool (fluxes are linear in the
+    pools for a given modifier series).
     """
     f_t, f_w = decomposition_modifiers(t_soil, theta, theta_s)
     mod = f_t * f_w
@@ -101,7 +115,11 @@ def carbon_daily(carbon, npp_dm: jnp.ndarray, litterfall_dm: jnp.ndarray,
               + (1.0 - RESP_FAST) * d_fast - d_slow)
 
     rh = RESP_LITTER * d_lit + RESP_FAST * d_fast + d_slow
-    nee = rh - C_PER_DM * npp_dm
+    nee = rh - C_PER_DM * production_dm
     new = carbon.replace(c_litter=c_litter, c_soil_fast=c_fast,
                          c_soil_slow=c_slow)
+    if return_fluxes:
+        fluxes = dict(c_lit_in=lit_in, c_d_lit=d_lit, c_d_fast=d_fast,
+                      c_d_slow=d_slow)
+        return new, rh, nee, fluxes
     return new, rh, nee

@@ -121,8 +121,15 @@ def dual_source_et(theta: List[jnp.ndarray], theta_s: List[jnp.ndarray],
     active = (lai > 0.0) & (beta > 0.0) & (par > 0.0)
     beta_safe = jnp.where(beta > 0.0, beta, 1.0)
     par_safe = jnp.where(par > 0.0, par, 1.0)
-    rsc_raw = (1.0 / (par_safe / (par_safe + 300.0))) * 400.0 / (
-        2.0 * lai_safe * beta_safe * ctx["vpd_att"])
+    rsc_a = (1.0 / (par_safe / (par_safe + 300.0))) * 400.0 / (
+        2.0 * lai_safe * ctx["vpd_att"])
+    # Divide by beta floored at exactly the cap point (rsc_a / RSC_MAX):
+    # below it the capped resistance is RSC_MAX regardless, so the
+    # result is unchanged — but the derivative of the capped branch
+    # becomes 0 instead of ~1/beta^2, which under extreme stress
+    # (beta ~ 1e-20) overflows f32 to Inf and poisons forward/reverse
+    # AD through the whole substep (calibrate.py differentiates this).
+    rsc_raw = rsc_a / jnp.maximum(beta_safe, rsc_a / c.RSC_MAX)
     rsc = jnp.where(active, rsc_raw, 1.0e6)
     # Baldocchi et al. (2004) minimum (HYDROLOGY.f90:295).
     rsc = jnp.where(lai > 0.0, jnp.maximum(rsc, ctx["rsc_min"]), rsc)

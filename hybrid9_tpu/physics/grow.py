@@ -17,7 +17,8 @@ from ..state import VegState
 
 
 def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
-               zi: jnp.ndarray) -> Tuple[VegState, jnp.ndarray]:
+               zi: jnp.ndarray, return_fluxes: bool = False
+               ) -> Tuple[VegState, jnp.ndarray]:
     """One day of growth for all cells.
 
     Args:
@@ -26,9 +27,15 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
         the day (the cross-kernel carry, GROW.f90:57).
       tas: ``[n]`` daily air temperature (K).
       zi: ``[10]`` static interface depths (mm).
+      return_fluxes: also return the growth/loss fluxes per pool
+        (needed by the vegetation equilibrium spin-up, spinup.py).
 
     Returns ``(state, npp, litterfall)``: daily NPP and the realized
-    plant-mass loss to litter (both g DM/day, ``[n]``).
+    plant-mass loss to litter (both g DM/day, ``[n]``).  With
+    ``return_fluxes``, a fourth element: a dict of the day's per-pool
+    gains and losses (g DM/day) — growth is mass-independent and every
+    loss is proportional to its pool, so the periodic steady state can
+    be solved by the same flux-ratio jump as the carbon pools.
     """
     nl = smp.shape[1]
     zi = jnp.asarray(zi, smp.dtype) if not isinstance(zi, jnp.ndarray) \
@@ -106,4 +113,18 @@ def grow_daily(veg: VegState, smp: jnp.ndarray, tas: jnp.ndarray,
     litterfall = (jnp.maximum(0.0, veg.plant_mass + grow_pm - plant_mass)
                   + jnp.maximum(0.0, veg.plant_foliage_mass + grow_fm
                                 - plant_foliage_mass))
+    if return_fluxes:
+        # Realized production: carbon that actually entered the plant
+        # pools today.  By construction Δ(mass + foliage) = production -
+        # litterfall exactly (floors included), so an NEE built on it is
+        # conservative — unlike the reference's npp = dpm (net-of-
+        # maintenance mass change, GROW.f90:186), which omits foliage
+        # growth entirely and cannot balance rh at equilibrium.
+        production = ((plant_mass - veg.plant_mass)
+                      + (plant_foliage_mass - veg.plant_foliage_mass)
+                      + litterfall)
+        fluxes = dict(v_grow_pm=grow_pm, v_loss_pm=loss_pm,
+                      v_grow_fm=grow_fm, v_loss_fm=loss_fm,
+                      v_production=production)
+        return new_veg, npp, litterfall, fluxes
     return new_veg, npp, litterfall

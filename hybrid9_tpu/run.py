@@ -226,6 +226,24 @@ class Simulation:
         self.n_land = land_grid.n_land if land_grid is not None else None
         self.annual_results: List[Dict[str, np.ndarray]] = []
 
+    def step_kwargs(self) -> Dict:
+        """Keyword arguments configuring ``step.day_step`` for this run.
+
+        One source of truth for the physics configuration shared by the
+        production block step (run_year) and auxiliary drivers that need
+        the identical model (carbon spin-up, ensembles).
+        """
+        cfg = self.cfg
+        return dict(
+            use_pallas=self.use_pallas, pallas_block=cfg.pallas_block,
+            routing=self.routing, lateral=self.lateral, snow=self.snow,
+            freeze=cfg.frozen_soil, vegetation=cfg.vegetation,
+            soil_ice=cfg.frozen_soil and cfg.soil_ice,
+            mesh=self.mesh if self.use_pallas else None,
+            pallas_interpret=cfg.pallas_interpret,
+            zd09_every=cfg.zd09_every, snow_albedo=self.snow_albedo,
+            carbon=cfg.carbon and cfg.vegetation)
+
     def run_year(self, year: int,
                  forcing_provider: Callable[[int, int, int], Forcing],
                  block_days: Optional[int] = None) -> Dict[str, np.ndarray]:
@@ -267,17 +285,8 @@ class Simulation:
                        else block_step)
             out = step_fn(
                 self.state, acc, block, self.params, self.geom,
-                cfg.dt, cfg.nisurf, use_pallas=self.use_pallas,
-                pallas_block=cfg.pallas_block, routing=self.routing,
-                lateral=self.lateral, snow=self.snow,
-                focus_idx=self.focus_idx, freeze=cfg.frozen_soil,
-                vegetation=cfg.vegetation,
-                soil_ice=cfg.frozen_soil and cfg.soil_ice,
-                mesh=self.mesh if self.use_pallas else None,
-                pallas_interpret=cfg.pallas_interpret,
-                zd09_every=cfg.zd09_every,
-                snow_albedo=self.snow_albedo,
-                carbon=cfg.carbon and cfg.vegetation)
+                cfg.dt, cfg.nisurf, focus_idx=self.focus_idx,
+                **self.step_kwargs())
             if self.focus_idx is not None:
                 self.state, acc, focus = out
                 if self.focus_writer is not None:

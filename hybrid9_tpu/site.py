@@ -86,6 +86,95 @@ def _initial_column(params: ref.ColumnParams, grid: LayerGrid
         plant_mass=plant_mass, plant_foliage_mass=foliage)
 
 
+# The reference's prescribed Vaira Ranch LAI phenology, embedded in its
+# LCLIM loop per calendar year (HYBRID9.f90:380-417): {doy: LAI}.  Shed
+# foliage (waypoint below current LAI) moves to the litter layer exactly
+# as in the reference; run_site implements that transfer.
+VAIRA_LAI_WAYPOINTS: Dict[int, Dict[int, float]] = {
+    2002: {1: 0.88, 59: 1.17, 79: 1.87, 94: 2.23, 108: 2.55,
+           122: 1.43, 136: 0.001, 357: 0.61},
+    2003: {29: 0.96, 52: 1.58, 76: 1.82, 95: 2.63, 106: 2.52,
+           120: 1.86, 141: 0.76, 158: 0.001},
+}
+
+
+def read_lclim_daily_csv(path: str,
+                         rsds: float = 0.0, rlds: float = 0.0
+                         ) -> tuple:
+    """Read a reference-format positional daily LCLIM file.
+
+    The reference's unit-10 record (HYBRID9.f90:368-379): one header
+    line, then per day ``doy, evap_obs (mm/day), pr (mm/day), tas (C),
+    rh (%), huss (kg/kg), ps (Pa)`` — whitespace- or comma-separated
+    positional columns, no names.  Daily radiation is NOT in the record
+    (the reference takes Rnet/PAR from the sub-daily file only,
+    HYBRID9.f90:431-433), so ``rsds``/``rlds`` fill the daily fields —
+    pair this reader with :func:`read_lclim_subdaily_csv` exactly as the
+    reference pairs units 10 and 11.
+
+    Returns ``(days, evap_obs)``: the climate record as
+    ``List[ref.DailyForcing]`` (record order; units converted as the
+    reference does — pr mm/day -> mm/s, tas C -> K) and ``{record_index
+    (1-based): observed daily ET in mm/day}``.
+    """
+    days: List[ref.DailyForcing] = []
+    obs: Dict[int, float] = {}
+    with open(path) as f:
+        next(f)                              # header (READ (10,*))
+        for line in f:
+            parts = line.replace(",", " ").split()
+            if not parts:
+                continue
+            vals = [float(v) for v in parts[:7]]
+            _doy, evap_obs_day, pr_day, tas_c, rh, huss, ps = vals
+            days.append(ref.DailyForcing(
+                tas=tas_c + c.TF, rlds=rlds, rsds=rsds, huss=huss,
+                ps=ps, pr=pr_day / c.SDAY, rhs=rh))
+            obs[len(days)] = evap_obs_day
+    return days, obs
+
+
+def read_lclim_subdaily_csv(path: str, nisurf: int) -> Dict[int, list]:
+    """Read a reference-format positional sub-daily LCLIM file.
+
+    The reference's unit-11 record (HYBRID9.f90:426-460): one header
+    line, then ``nisurf`` rows per day, each a 37-column positional
+    record of which the reference uses (1-based) column 12 (observed LE,
+    W/m^2), 14 (Rnet, W/m^2), 16 (PAR, W/m^2), 22 (air T, C), 25
+    (RH, %), 35 (precip, mm per substep).  Returns the same
+    ``{doy: [override dict per substep]}`` structure as
+    :func:`read_site_subdaily_csv`; observed LE is converted to mm per
+    substep via the reference's own latent-heat relation
+    (lamb = (2503 - 2.386 (T - tf)) kJ/kg, HYBRID9.f90:445-450).
+    """
+    dt = c.SDAY / nisurf
+    out: Dict[int, list] = {}
+    rows: List[List[float]] = []
+    with open(path) as f:
+        next(f)                              # header (READ (11,*))
+        for line in f:
+            parts = line.replace(",", " ").split()
+            if parts:
+                rows.append([float(v) for v in parts])
+    for i, r in enumerate(rows):
+        doy = i // nisurf + 1
+        step = i % nisurf
+        if doy not in out:
+            out[doy] = [{} for _ in range(nisurf)]
+        tak = r[21] + c.TF                   # column 22 (C -> K)
+        lamb = (2503.0 - 2.386 * (tak - c.TF)) * 1.0e3
+        evap_obs_flux = (r[11] / lamb) * 1.0e3 / c.RHOW   # mm/s
+        out[doy][step] = dict(
+            tak=tak,
+            rh=r[24],                        # column 25 (%)
+            rnet=r[13],                      # column 14 (W/m^2)
+            par=r[15],                       # column 16 (W/m^2)
+            forc_rain=r[34] / dt,            # column 35 (mm/substep)
+            evap_obs=evap_obs_flux * dt,     # mm per substep
+        )
+    return out
+
+
 def read_site_climate_csv(path: str) -> List[ref.DailyForcing]:
     """Read daily site climate from CSV.
 
@@ -171,7 +260,9 @@ def run_site(cfg: Config,
              subdaily: Optional[Dict[int, list]] = None,
              grow: bool = True,
              csv_out: Optional[str] = None,
-             engine: str = "oracle") -> SiteResult:
+             engine: str = "oracle",
+             evap_obs_daily: Optional[Dict[int, float]] = None
+             ) -> SiteResult:
     """Run the single-column site simulation.
 
     ``cfg.spinup_years`` repeats of the climate record precede the scored
@@ -213,6 +304,13 @@ def run_site(cfg: Config,
         raise ValueError(f"unknown site engine {engine!r} "
                          "(expected 'oracle' or 'kernel')")
 
+    if evap_obs_daily:
+        # Daily observed ET from a daily record (the reference's unit-10
+        # evap_obs_day, HYBRID9.f90:370): sub-daily-derived observations
+        # take precedence where both exist.
+        merged = dict(evap_obs_daily)
+        merged.update(evap_obs)
+        evap_obs = merged
     has_obs = bool(evap_obs)
     if has_obs:
         for row in daily:
@@ -335,8 +433,13 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
     import jax
     import jax.numpy as jnp
 
+    from .physics.drainage import compute_specific_yields
     from .physics.grow import grow_daily
     from .physics.hydrology import Geometry, hydrology_substep
+    from .physics.layers import stack as _st
+    from .physics.layers import unstack as _un
+    from .physics.snow import SnowParams, snow_step
+    from .physics.soilwater import compute_equilibrium_zq
     from .state import initial_state
 
     dtype = jnp.dtype(cfg.dtype)
@@ -348,6 +451,16 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
     dt = cfg.dt
     zi_arr = jnp.asarray(grid.zi, dtype)
     ndays = len(climate)
+    # Production-default physics knobs now honored at the site too
+    # (VERDICT r2 item 8): the ZD09/specific-yield refresh interval and
+    # the daily snow store, so `site --engine kernel` exercises exactly
+    # the configuration a production run uses.  Snow runs at daily
+    # cadence on the day-mean rain flux; the day's sub-daily rain
+    # pattern is rescaled by the liquid share and melt is released
+    # uniformly (conserves the daily total).  Snow albedo is not
+    # applied: site radiation comes from observations.
+    zd = int(cfg.zd09_every)
+    snow_p = SnowParams(ddf=cfg.snow_ddf) if cfg.snow else None
 
     # Pre-stack the year: [ndays, nisurf, 1] derived forcing (with the
     # sub-daily observation overrides already applied), [ndays, 1] daily
@@ -365,10 +478,18 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
     lai_year = jnp.asarray(lai_year, dtype)
 
     @functools.partial(jax.jit, static_argnames=("geom", "dt", "grow"))
-    def year_fn(soil, veg, fd_year, tas_year, lai_year, sp, geom, dt,
-                grow):
+    def year_fn(soil, veg, swe, fd_year, tas_year, lai_year, sp, geom,
+                dt, grow):
+        def fresh_ctx(zwt):
+            zq = _st(compute_equilibrium_zq(
+                zwt, _un(sp.theta_s), _un(sp.psi_s), _un(sp.bsw),
+                geom.zi))
+            sy = _st(compute_specific_yields(
+                zwt, _un(sp.theta_s), _un(sp.psi_s), _un(sp.bsw)))
+            return zq, sy
+
         def day_body(carry, inputs):
-            soil, veg = carry
+            soil, veg, swe = carry
             fd_steps, tas, lai_new = inputs
             # Prescribed-LAI waypoint (HYBRID9.f90:380-417): shed foliage
             # goes to the litter layer.
@@ -378,18 +499,59 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
             veg = veg.replace(lai=jnp.where(have, lai_new, cur),
                               lai_litter=veg.lai_litter + shed)
 
-            def substep(scarry, fd):
-                soil, evap, evap_grnd, rnf, max_res = scarry
-                soil, fx = hydrology_substep(soil, veg, sp, fd, geom, dt)
-                evap = evap + (fx.qflx_evap_grnd + fx.qflx_tran_veg) * dt
-                evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
-                rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
-                max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
-                return (soil, evap, evap_grnd, rnf, max_res), None
+            snow_capped = jnp.zeros_like(soil.zwt)
+            if snow_p is not None:
+                pr_day = jnp.mean(fd_steps["forc_rain"], axis=0)
+                swe, pr_eff, melt, snow_capped = snow_step(
+                    swe, tas, pr_day, snow_p)
+                rain_share = jnp.maximum(pr_eff - melt, 0.0) \
+                    / jnp.maximum(pr_day, 1.0e-12)
+                fd_steps = dict(
+                    fd_steps,
+                    forc_rain=fd_steps["forc_rain"] * rain_share
+                    + melt[None, :])
 
-            z = jnp.zeros_like(soil.zwt)
-            (soil, evap, evap_grnd, rnf, max_res), _ = jax.lax.scan(
-                substep, (soil, z, z, z, z), fd_steps)
+            if zd > 1:
+                def substep(scarry, inp):
+                    fd, it = inp
+                    soil, zq, sy, evap, evap_grnd, rnf, max_res = scarry
+                    zq, sy = jax.lax.cond(it % zd == 0, fresh_ctx,
+                                          lambda _: (zq, sy), soil.zwt)
+                    soil, fx = hydrology_substep(soil, veg, sp, fd,
+                                                 geom, dt, zq=zq, sy=sy)
+                    evap = evap + (fx.qflx_evap_grnd
+                                   + fx.qflx_tran_veg) * dt
+                    evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
+                    rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
+                    max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
+                    return (soil, zq, sy, evap, evap_grnd, rnf,
+                            max_res), None
+
+                z = jnp.zeros_like(soil.zwt)
+                zq0 = jnp.zeros_like(
+                    jnp.concatenate([soil.h2osoi_liq, soil.zwt[:, None]],
+                                    axis=1))
+                sy0 = jnp.zeros_like(soil.h2osoi_liq)
+                (soil, _zq, _sy, evap, evap_grnd, rnf, max_res), _ = \
+                    jax.lax.scan(substep, (soil, zq0, sy0, z, z, z, z),
+                                 (fd_steps,
+                                  jnp.arange(fd_steps["tak"].shape[0])))
+            else:
+                def substep(scarry, fd):
+                    soil, evap, evap_grnd, rnf, max_res = scarry
+                    soil, fx = hydrology_substep(soil, veg, sp, fd,
+                                                 geom, dt)
+                    evap = evap + (fx.qflx_evap_grnd
+                                   + fx.qflx_tran_veg) * dt
+                    evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
+                    rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
+                    max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
+                    return (soil, evap, evap_grnd, rnf, max_res), None
+
+                z = jnp.zeros_like(soil.zwt)
+                (soil, evap, evap_grnd, rnf, max_res), _ = jax.lax.scan(
+                    substep, (soil, z, z, z, z), fd_steps)
+            rnf = rnf + snow_capped
             if grow:
                 # Growth-constraint diagnostics from the post-substep
                 # smp, pre-growth roots — the values grow_daily itself
@@ -411,17 +573,19 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
             out = dict(evap_day=evap, evap_grnd_day=evap_grnd,
                        rnf_day=rnf, max_residual=max_res, w_i=w_i,
                        f_t=f_t, lai=veg.lai, lai_litter=veg.lai_litter,
-                       h2osoi=soil.h2osoi_liq)
-            return (soil, veg), out
+                       h2osoi=soil.h2osoi_liq, swe=swe)
+            return (soil, veg, swe), out
 
-        (soil, veg), outs = jax.lax.scan(
-            day_body, (soil, veg), (fd_year, tas_year, lai_year))
-        return soil, veg, outs
+        (soil, veg, swe), outs = jax.lax.scan(
+            day_body, (soil, veg, swe), (fd_year, tas_year, lai_year))
+        return soil, veg, swe, outs
 
+    swe = state.swe
     n_loops = max(1, cfg.spinup_years + 1)
     for loop in range(n_loops):
-        soil, veg, outs = year_fn(soil, veg, fd_year, tas_year, lai_year,
-                                  sp, geom, dt, grow)
+        soil, veg, swe, outs = year_fn(soil, veg, swe, fd_year,
+                                       tas_year, lai_year, sp, geom, dt,
+                                       grow)
     outs = {k: np.asarray(v) for k, v in outs.items()}
 
     dz = grid.dz[:nl]
@@ -440,5 +604,5 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
             w_i=float(outs["w_i"][d, 0]), f_t=float(outs["f_t"][d, 0]),
             max_residual=float(outs["max_residual"][d, 0]),
         ))
-    final = state.replace(soil=soil, veg=veg)
+    final = state.replace(soil=soil, veg=veg, swe=swe)
     return daily, final

@@ -49,7 +49,7 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
              vegetation: bool = True, soil_ice: bool = False,
              mesh=None, pallas_interpret: bool = False,
              zd09_every: int = 1, snow_albedo=None,
-             carbon: bool = False
+             carbon: bool = False, focus_idx=None
              ) -> Tuple[ModelState, Dict[str, jnp.ndarray]]:
     """One model day: ``nisurf`` hydrology substeps then daily growth.
 
@@ -131,23 +131,25 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
                 state.soil, state.veg, params, forcing, geom, dt, nisurf,
                 block=pallas_block, interpret=pallas_interpret, imp=imp,
                 zd09_every=zd09_every, sw_abs=sw_abs)
-        veg, npp, litterfall = _grow(state.veg, soil, forcing, geom,
-                                     vegetation)
+        veg, npp, litterfall, vflux = _grow(state.veg, soil, forcing,
+                                            geom, vegetation)
         diags = dict(evap_day=pd["evap_day"],
                      evap_grnd_day=pd["evap_grnd_day"],
                      rnf_day=pd["rnf_day"],
                      max_abs_residual=pd["max_abs_residual"],
-                     npp=npp)
+                     npp=npp, **vflux)
         if snow_capped is not None:    # capped-pack ice runoff (mm)
             diags["rnf_day"] = diags["rnf_day"] + snow_capped
         river, diags = _route(state.river_store, diags, routing)
         soil = _lateral(soil, lateral)
         t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
                                           geom, soil_ice, sw_abs)
-        cstate, rh, nee = _carbon(state.carbon, npp, litterfall, t_soil,
-                                  soil, params, geom, carbon)
+        cstate, rh, nee, cflux = _carbon(state.carbon, vflux, litterfall,
+                                         t_soil, soil, params, geom,
+                                         carbon)
         diags["rh"] = rh
         diags["nee"] = nee
+        diags.update(cflux)
         return ModelState(soil=soil, veg=veg, river_store=river,
                           t_soil=t_soil, swe=swe, h2osoi_ice=ice,
                           snowpack=snowpack, carbon=cstate), diags
@@ -196,14 +198,15 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
             evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
             rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
             max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
-            return (soil, zq, sy, evap, evap_grnd, rnf, max_res), None
+            ys = soil.zwt[focus_idx] if focus_idx is not None else None
+            return (soil, zq, sy, evap, evap_grnd, rnf, max_res), ys
 
         nl = state.soil.h2osoi_liq.shape[1]
         zq0 = jnp.zeros((n, nl + 1), dtype)
         sy0 = jnp.zeros((n, nl), dtype)
         carry0 = (state.soil, zq0, sy0, zeros, zeros, zeros, zeros)
-        (soil, _zq, _sy, evap_day, evap_grnd_day, rnf_day, max_res), _ = \
-            jax.lax.scan(substep, carry0, jnp.arange(nisurf))
+        (soil, _zq, _sy, evap_day, evap_grnd_day, rnf_day, max_res), \
+            wt_trace = jax.lax.scan(substep, carry0, jnp.arange(nisurf))
     else:
         def substep(carry, _):
             soil, evap, evap_grnd, rnf, max_res = carry
@@ -213,13 +216,15 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
             evap_grnd = evap_grnd + fx.qflx_evap_grnd * dt
             rnf = rnf + (fx.qflx_surf + fx.rsub_top) * dt
             max_res = jnp.maximum(max_res, jnp.abs(fx.residual))
-            return (soil, evap, evap_grnd, rnf, max_res), None
+            ys = soil.zwt[focus_idx] if focus_idx is not None else None
+            return (soil, evap, evap_grnd, rnf, max_res), ys
 
         carry0 = (state.soil, zeros, zeros, zeros, zeros)
-        (soil, evap_day, evap_grnd_day, rnf_day, max_res), _ = \
+        (soil, evap_day, evap_grnd_day, rnf_day, max_res), wt_trace = \
             jax.lax.scan(substep, carry0, None, length=nisurf)
 
-    veg, npp, litterfall = _grow(veg, soil, forcing, geom, vegetation)
+    veg, npp, litterfall, vflux = _grow(veg, soil, forcing, geom,
+                                        vegetation)
 
     diags = dict(
         evap_day=evap_day,
@@ -227,17 +232,23 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
         rnf_day=rnf_day,
         max_abs_residual=max_res,
         npp=npp,
+        **vflux,
     )
+    if wt_trace is not None:
+        # Per-substep water-table trace of the focus cell, the analog of
+        # the reference's unit-98 INTERACTIVE dump (HYDROLOGY.f90:509).
+        diags["wt_substeps"] = wt_trace
     if snow_capped is not None:        # capped-pack ice runoff (mm)
         diags["rnf_day"] = diags["rnf_day"] + snow_capped
     river, diags = _route(state.river_store, diags, routing)
     soil = _lateral(soil, lateral)
     t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
                                       geom, soil_ice, sw_abs)
-    cstate, rh, nee = _carbon(state.carbon, npp, litterfall, t_soil,
-                              soil, params, geom, carbon)
+    cstate, rh, nee, cflux = _carbon(state.carbon, vflux, litterfall,
+                                     t_soil, soil, params, geom, carbon)
     diags["rh"] = rh
     diags["nee"] = nee
+    diags.update(cflux)
     return ModelState(soil=soil, veg=veg, river_store=river,
                       t_soil=t_soil, swe=swe, h2osoi_ice=ice,
                       snowpack=snowpack, carbon=cstate), diags
@@ -247,29 +258,37 @@ def _grow(veg, soil, forcing, geom, vegetation: bool):
     """Daily vegetation update, or a no-op in hydrology-only mode
     (BASELINE.json config 2: global hydrology without vegetation —
     LAI/roots stay at their prescribed initial values).  Returns
-    ``(veg, npp, litterfall)``."""
+    ``(veg, npp, litterfall, fluxes)``; the flux dict feeds the
+    equilibrium spin-up (spinup.py) and is XLA-eliminated otherwise."""
     if vegetation:
-        return grow_daily(veg, soil.smp, forcing.tas, geom.zi)
+        return grow_daily(veg, soil.smp, forcing.tas, geom.zi,
+                          return_fluxes=True)
     z = jnp.zeros_like(veg.lai)
-    return veg, z, z
+    return veg, z, z, {}
 
 
-def _carbon(carbon_state, npp, litterfall, t_soil, soil, params, geom,
+def _carbon(carbon_state, vflux, litterfall, t_soil, soil, params, geom,
             enabled: bool):
     """Daily soil-carbon cascade (physics/carbon.py), or a no-op.
 
     Runs on the END-of-day soil temperature and moisture (the same
     lagged-coupling convention as GROW's smp input, GROW.f90:57).
-    Returns ``(carbon', rh, nee)``.
+    NEE uses the realized plant production from the growth flux record
+    (``vflux["v_production"]``) so ecosystem carbon is conserved (see
+    carbon_daily).  Returns ``(carbon', rh, nee, fluxes)``; the flux
+    dict feeds the equilibrium spin-up's per-pool turnover accumulators
+    (spinup.py) and is dead code (XLA-eliminated) in ordinary runs.
     """
     if not enabled:
-        z = jnp.zeros_like(npp)
-        return carbon_state, z, z
+        z = jnp.zeros_like(litterfall)
+        return carbon_state, z, z, {}
     from .physics.carbon import carbon_daily
     dz = jnp.asarray(geom.dz_soil, soil.h2osoi_liq.dtype)
     theta = soil.h2osoi_liq / (dz[None, :] * c.RHOW / 1.0e3)
-    return carbon_daily(carbon_state, npp, litterfall, t_soil, theta,
-                        params.theta_s)
+    production = (vflux["v_production"] if vflux
+                  else jnp.zeros_like(litterfall))
+    return carbon_daily(carbon_state, production, litterfall, t_soil,
+                        theta, params.theta_s, return_fluxes=True)
 
 
 def _lateral(soil, lateral):
@@ -391,7 +410,10 @@ def _focus_row(state: ModelState, forcing: Forcing,
     header INIT.f90:887-891) and water-table trace (HYDROLOGY.f90:509)."""
     dz_sum = float(sum(dz_soil))
     h_tot = jnp.sum(state.soil.h2osoi_liq[idx])
+    extra = ({"wt_substeps": diags["wt_substeps"]}
+             if "wt_substeps" in diags else {})
     return dict(
+        **extra,
         tas=forcing.tas[idx], pr=forcing.pr[idx], rsds=forcing.rsds[idx],
         evap=diags["evap_day"][idx], evap_grnd=diags["evap_grnd_day"][idx],
         rnf=diags["rnf_day"][idx], discharge=diags["discharge"][idx],
@@ -441,7 +463,8 @@ def _block_step(state: ModelState, acc: AnnualAccumulators,
                              vegetation=vegetation, soil_ice=soil_ice,
                              mesh=mesh, pallas_interpret=pallas_interpret,
                              zd09_every=zd09_every,
-                             snow_albedo=snow_albedo, carbon=carbon)
+                             snow_albedo=snow_albedo, carbon=carbon,
+                             focus_idx=focus_idx)
         ac = _accumulate(ac, st, f_day, diags, geom.dz_soil)
         ys = (_focus_row(st, f_day, diags, geom.dz_soil, focus_idx)
               if focus_idx is not None else None)

@@ -22,7 +22,11 @@ TRACK_KEYS = ("evap_day", "evap_grnd_day", "theta1", "theta2", "theta3",
 
 
 def _cfg(**kw):
-    base = dict(spinup_years=0, nisurf=8, dtype="float64")
+    # Exact mode for oracle comparisons: the oracle refreshes the ZD09
+    # profile every substep and has no snow store, so pin both off
+    # (the kernel engine honors the production defaults since r3).
+    base = dict(spinup_years=0, nisurf=8, dtype="float64",
+                zd09_every=1, snow=False)
     base.update(kw)
     return Config(**base)
 
