@@ -355,16 +355,26 @@ def cmd_ensemble(args: argparse.Namespace) -> int:
                                   sigma=args.sigma)
     theta = {k: v.astype(dtype) for k, v in theta.items()}
 
+    # Member axis folds into the cell axis (ensemble.py), so the Pallas
+    # day kernel runs ensembles at production speed when on TPU.
+    n_total = args.members * grid.n_padded
+    use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                  else (jax.default_backend() == "tpu"
+                        and n_total % cfg.pallas_block == 0))
     t0 = time.perf_counter()
     out = run_ensemble_annual(theta, params, state0, forcing, geom,
                               nisurf=cfg.nisurf,
-                              vegetation=cfg.vegetation)
+                              vegetation=cfg.vegetation,
+                              use_pallas=use_pallas,
+                              pallas_block=cfg.pallas_block,
+                              zd09_every=cfg.zd09_every)
     # Close the timed region with a D2H read (PERFORMANCE.md rule).
     out = {k: np.asarray(v) for k, v in out.items()}
     elapsed = time.perf_counter() - t0
     log.info("ensemble: %d members x %d cells x %d days in %.2fs "
-             "(one vmapped kernel, incl. compile)", args.members,
-             grid.n_padded, ndays, elapsed)
+             "(member axis folded into the cell axis, pallas=%s, "
+             "incl. compile)", args.members, grid.n_padded, ndays,
+             elapsed, use_pallas)
 
     fields_nc = {}
     for name, stacked in out.items():

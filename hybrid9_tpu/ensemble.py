@@ -15,6 +15,7 @@ exactly like a single run and the ensemble adds pure batch work.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Sequence, Tuple
 
 import jax
@@ -105,34 +106,74 @@ def run_ensemble_annual(theta: Dict[str, jnp.ndarray],
                         forcing_days: Forcing,
                         geom: Geometry,
                         nisurf: int = c.NISURF_DEFAULT,
-                        vegetation: bool = True
+                        vegetation: bool = True,
+                        use_pallas: bool = False,
+                        pallas_block: int = 1024,
+                        zd09_every: int = 1
                         ) -> Dict[str, jnp.ndarray]:
     """Ensemble with annual totals only: memory O(members x cells).
 
-    The production-scale variant of :func:`run_ensemble` — at 0.5
-    degrees, stacking ``[members, days, n]`` dailies costs GBs of HBM,
-    so the day scan carries running sums instead (exactly the annual-
-    accumulator pattern of the production driver, step._accumulate).
+    The production-scale variant of :func:`run_ensemble`, TPU-first in
+    two ways.  First, the day scan carries running sums instead of
+    stacking ``[members, days, n]`` dailies (GBs of HBM at 0.5 deg) —
+    the annual-accumulator pattern of the production driver.  Second,
+    the member axis is FOLDED INTO THE CELL AXIS rather than vmapped:
+    an ensemble is literally "more cells" ``[members * n]`` with
+    per-member-tiled parameters, so the VMEM-resident Pallas day kernel
+    (``use_pallas``) runs ensembles at full production speed — the
+    member dimension is indistinguishable from batch.  Forcing is
+    tiled per day inside the scan body (a broadcast in-compute, never
+    materialised for the year), so HBM holds one [days, n] forcing
+    block regardless of ensemble size.
+
     Returns ``{"evap", "runoff", "npp"}`` as ``[members, n]`` annual
     totals (mm/yr and g DM/yr).
     """
     dt = c.SDAY / nisurf
+    m = len(next(iter(theta.values())))
+    n = state0.veg.lai.shape[0]
 
-    def one_member(theta_m):
-        p = apply_multipliers(params, theta_m)
-        n = state0.veg.lai.shape[0]
-        zeros = jnp.zeros((n,), state0.veg.lai.dtype)
+    def tile(x):
+        return jnp.concatenate([x] * m, axis=0)
 
-        def body(carry, f_day):
-            state, ev, rn, np_ = carry
-            state, diags = day_step(state, f_day, p, geom, dt, nisurf,
-                                    vegetation=vegetation)
-            return (state, ev + diags["evap_day"], rn + diags["rnf_day"],
-                    np_ + diags["npp"]), None
+    params_m = apply_multipliers(
+        jax.tree_util.tree_map(tile, params),
+        {f: jnp.repeat(v, n) for f, v in theta.items()})
+    state_m = jax.tree_util.tree_map(
+        lambda x: tile(x) if (hasattr(x, "ndim") and x.ndim >= 1
+                              and x.shape[0] == n) else x, state0)
 
-        (_, ev, rn, np_), _ = jax.lax.scan(
-            body, (state0, zeros, zeros, zeros), forcing_days)
-        return ev, rn, np_
+    ev, rn, np_ = _run_annual_folded(
+        state_m, forcing_days, params_m, geom, dt, m, nisurf,
+        vegetation, use_pallas, pallas_block, zd09_every)
+    shape = (m, n)
+    return dict(evap=ev.reshape(shape), runoff=rn.reshape(shape),
+                npp=np_.reshape(shape))
 
-    ev, rn, np_ = jax.jit(jax.vmap(one_member))(theta)
-    return dict(evap=ev, runoff=rn, npp=np_)
+
+@functools.partial(jax.jit, static_argnames=(
+    "geom", "dt", "m", "nisurf", "vegetation", "use_pallas",
+    "pallas_block", "zd09_every"))
+def _run_annual_folded(state_m, forcing_days, params_m, geom, dt, m,
+                       nisurf, vegetation, use_pallas, pallas_block,
+                       zd09_every):
+    """Module-level jit of the folded annual ensemble scan (a fresh
+    inner ``@jax.jit`` per call would retrace/recompile every
+    invocation — this caches on the static configuration instead)."""
+    zeros = jnp.zeros_like(state_m.veg.lai)
+
+    def body(carry, f_day):
+        state, ev, rn, np_ = carry
+        f_m = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x] * m, axis=0), f_day)
+        state, diags = day_step(state, f_m, params_m, geom, dt,
+                                nisurf, vegetation=vegetation,
+                                use_pallas=use_pallas,
+                                pallas_block=pallas_block,
+                                zd09_every=zd09_every)
+        return (state, ev + diags["evap_day"],
+                rn + diags["rnf_day"], np_ + diags["npp"]), None
+
+    (_, ev, rn, np_), _ = jax.lax.scan(
+        body, (state_m, zeros, zeros, zeros), forcing_days)
+    return ev, rn, np_

@@ -174,3 +174,24 @@ def test_ensemble_member0_matches_control(problem):
     mean, std = ensemble_spread(res.evap)
     assert mean.shape == (NDAYS, N)
     assert float(jnp.max(std)) > 0.0
+
+
+def test_ensemble_annual_folded_matches_stacked(problem):
+    """The folded-cell-axis annual ensemble (run_ensemble_annual, the
+    production path: members become batch on the packed axis) must
+    reproduce the vmapped ensemble's daily sums member-for-member."""
+    from hybrid9_tpu.ensemble import run_ensemble_annual
+    params, state0, geom, forcing = problem
+    theta = perturbed_multipliers(jax.random.PRNGKey(7), 3, sigma=0.4)
+    theta = {k: v.astype(jnp.float64) for k, v in theta.items()}
+    full = run_ensemble(theta, params, state0, forcing, geom,
+                        nisurf=NISURF)
+    ann = run_ensemble_annual(theta, params, state0, forcing, geom,
+                              nisurf=NISURF)
+    assert ann["evap"].shape == (3, N)
+    np.testing.assert_allclose(np.asarray(ann["evap"]),
+                               np.asarray(full.evap.sum(axis=1)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ann["npp"]),
+                               np.asarray(full.npp.sum(axis=1)),
+                               rtol=1e-10, atol=1e-10)
