@@ -1,0 +1,219 @@
+"""Ensemble Kalman data assimilation (EnKF) for states and parameters.
+
+Third closed-loop capability beyond the reference (after adjoint
+calibration and vmapped ensembles): sequentially assimilate observed
+daily ET into a running parameter-perturbed ensemble, updating both the
+soil-water state and per-cell soil-parameter multipliers.  The
+reference's only use of observations was a visual model-vs-obs CSV
+comparison at one site (HYBRID9.f90:449).
+
+Design (TPU-first, and the standard land-DA configuration):
+
+- **Cell-local scalar-observation EnKF.**  Land-surface DA treats grid
+  cells as independent (the model physics is cell-local, SURVEY.md C14),
+  and the observation at a cell is a scalar (daily ET).  The Kalman
+  update then needs no matrix algebra at all: per cell,
+
+      K_i   = cov_m(x_i, y_i) / (var_m(y_i) + r_i)
+      x_i  += K_i (obs_i + eta - y_i)          (stochastic EnKF)
+
+  with all moments taken over the member axis.  Every quantity is an
+  ``[m, n]`` array and the update is fused elementwise over cells —
+  exactly the shape the VPU wants, no per-cell solves, no halos.
+- **Augmented state.**  The update applies to any pytree of ``[m, n]``
+  ensemble anomalies: prognostic water stores AND log-parameter
+  multipliers (state augmentation — the standard route to online
+  parameter estimation).  Parameters have no dynamics; they change only
+  through their covariance with predicted ET.
+- **The forecast step is the folded ensemble** (ensemble.py): members
+  ride the packed cell axis through the production Pallas kernel, so a
+  DA cycle costs one model day at ensemble width plus an elementwise
+  update.
+
+The stochastic-EnKF form (perturbed observations, Burgers et al. 1998)
+keeps the analysis spread consistent with r without a deterministic
+square-root transform; inflation guards the usual sampling-noise
+collapse of small ensembles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .calibrate import apply_multipliers
+from .physics import constants as c
+from .physics.hydrology import Geometry
+from .state import Forcing, ModelState, SoilParams
+from .step import day_step
+
+
+class EnKFConfig(NamedTuple):
+    obs_err_std: float = 0.3     # observation error, mm/day
+    inflation: float = 1.05      # multiplicative anomaly inflation
+    theta_min: float = -2.0      # clamp on log-multipliers
+    theta_max: float = 2.0
+
+
+def _moments(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Member-axis (mean, anomaly) of an ``[m, ...]`` array."""
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    return mean, x - mean
+
+
+def enkf_update_scalar_obs(aug: Dict[str, jnp.ndarray],
+                           y_pred: jnp.ndarray,
+                           obs: jnp.ndarray,
+                           obs_mask: jnp.ndarray,
+                           key: jax.Array,
+                           cfg: EnKFConfig = EnKFConfig()
+                           ) -> Dict[str, jnp.ndarray]:
+    """One cell-local scalar-observation EnKF analysis step.
+
+    Args:
+      aug: augmented ensemble — a dict of ``[m, n]`` (or ``[m, n, l]``)
+        arrays (water stores, log-multipliers, ...).
+      y_pred: ``[m, n]`` predicted observation per member (daily ET).
+      obs: ``[n]`` observed values; ``obs_mask``: ``[n]`` validity.
+      key: PRNG key for observation perturbations.
+      cfg: EnKF tuning.
+
+    Returns the analysis ensemble (same structure as ``aug``).
+    """
+    m = y_pred.shape[0]
+    _, dy = _moments(y_pred)
+    dy = dy * cfg.inflation
+    var_y = jnp.sum(dy * dy, axis=0) / (m - 1)          # [n]
+    r = cfg.obs_err_std ** 2
+    denom = var_y + r                                   # [n]
+
+    # Perturbed observations: one draw per member per cell (dtype
+    # pinned to the prediction's — the x64 default would otherwise
+    # promote the whole analysed ensemble to f64).
+    eta = cfg.obs_err_std * jax.random.normal(key, y_pred.shape,
+                                              y_pred.dtype)
+    innov = (obs[None, :].astype(y_pred.dtype) + eta - y_pred)  # [m, n]
+    innov = jnp.where(obs_mask[None, :], innov, 0.0)
+
+    def update(x):
+        mean, dx = _moments(x)
+        dx = dx * cfg.inflation
+        if x.ndim == 3:                                 # [m, n, l]
+            cov = jnp.einsum("mn,mnl->nl", dy, dx) / (m - 1)
+            gain = cov / denom[:, None]
+            upd = gain[None, :, :] * innov[:, :, None]
+        else:                                           # [m, n]
+            cov = jnp.sum(dy * dx, axis=0) / (m - 1)
+            gain = cov / denom
+            upd = gain[None, :] * innov
+        return mean + dx + upd
+
+    return {k: update(v) for k, v in aug.items()}
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "geom", "dt", "m", "nisurf", "vegetation", "use_pallas",
+    "pallas_block", "zd09_every", "cfg"))
+def _enkf_cycle(state_m: ModelState, theta_m: jnp.ndarray,
+                params_tiled: SoilParams, f_day: Forcing,
+                obs: jnp.ndarray, obs_mask: jnp.ndarray, key: jax.Array,
+                geom: Geometry, dt: float, m: int, nisurf: int,
+                vegetation: bool, use_pallas: bool, pallas_block: int,
+                zd09_every: int, cfg: EnKFConfig):
+    """Forecast one day at ensemble width, then analyse.
+
+    ``state_m``: folded ``[m*n]`` model state; ``theta_m``: ``[m, n]``
+    per-cell hksat log-multipliers; ``params_tiled``: base params tiled
+    to ``[m*n]`` (multipliers applied inside, so the analysed theta
+    takes effect on the next forecast); ``f_day``: ``[n]`` forcing
+    (shared across members).  Returns (state_m', theta_m', y_pred).
+    """
+    n = obs.shape[0]
+
+    def tile(x):
+        return jnp.concatenate([x] * m, axis=0)
+
+    p = apply_multipliers(params_tiled,
+                          {"hksat": theta_m.reshape(m * n)})
+    f_m = jax.tree_util.tree_map(tile, f_day)
+    state_m, diags = day_step(state_m, f_m, p, geom, dt, nisurf,
+                              vegetation=vegetation,
+                              use_pallas=use_pallas,
+                              pallas_block=pallas_block,
+                              zd09_every=zd09_every)
+    y_pred = diags["evap_day"].reshape(m, n)
+
+    nl = state_m.soil.h2osoi_liq.shape[1]
+    aug = dict(
+        h2osoi=state_m.soil.h2osoi_liq.reshape(m, n, nl),
+        wa=state_m.soil.wa.reshape(m, n),
+        theta=theta_m,
+    )
+    aug = enkf_update_scalar_obs(aug, y_pred, obs, obs_mask, key, cfg)
+
+    # Physical guards: non-negative stores, bounded multipliers.
+    h = jnp.maximum(aug["h2osoi"], 1.0e-3).reshape(m * n, nl)
+    wa = jnp.clip(aug["wa"], 0.0, 5000.0).reshape(m * n)
+    theta_m = jnp.clip(aug["theta"], cfg.theta_min, cfg.theta_max)
+    state_m = state_m.replace(soil=state_m.soil.replace(
+        h2osoi_liq=h, wa=wa))
+    return state_m, theta_m, y_pred
+
+
+def assimilate(params: SoilParams, state0: ModelState,
+               forcing_days: Forcing, obs_et: jnp.ndarray,
+               geom: Geometry, n_members: int = 16,
+               obs_mask: Optional[jnp.ndarray] = None,
+               nisurf: int = c.NISURF_DEFAULT,
+               theta_spread: float = 0.3, seed: int = 0,
+               vegetation: bool = True, use_pallas: bool = False,
+               pallas_block: int = 1024, zd09_every: int = 1,
+               cfg: EnKFConfig = EnKFConfig()) -> Dict[str, jnp.ndarray]:
+    """Sequential EnKF over a daily-ET observation record.
+
+    Args:
+      forcing_days: ``[days, n]`` Forcing pytree.
+      obs_et: ``[days, n]`` observed daily ET (mm/day).
+      obs_mask: ``[days, n]`` validity (default: all valid).
+      n_members: ensemble width m.
+      theta_spread: initial std of the per-cell hksat log-multipliers.
+
+    Returns a dict with the posterior ``theta_mean``/``theta_std``
+    ``[n]``, the final folded ensemble state, and the ``[days, n]``
+    ensemble-mean predicted ET (for innovation diagnostics).
+    """
+    m = n_members
+    n = state0.veg.lai.shape[0]
+    ndays = obs_et.shape[0]
+    if obs_mask is None:
+        obs_mask = jnp.ones((ndays, n), bool)
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    theta_m = theta_spread * jax.random.normal(k0, (m, n),
+                                               state0.veg.lai.dtype)
+
+    def tile(x):
+        return jnp.concatenate([x] * m, axis=0)
+
+    params_tiled = jax.tree_util.tree_map(tile, params)
+    state_m = jax.tree_util.tree_map(
+        lambda x: tile(x) if (hasattr(x, "ndim") and x.ndim >= 1
+                              and x.shape[0] == n) else x, state0)
+
+    y_means = []
+    for d in range(ndays):
+        key, kd = jax.random.split(key)
+        f_day = jax.tree_util.tree_map(lambda x: x[d], forcing_days)
+        state_m, theta_m, y_pred = _enkf_cycle(
+            state_m, theta_m, params_tiled, f_day, obs_et[d],
+            obs_mask[d], kd, geom, c.SDAY / nisurf, m, nisurf,
+            vegetation, use_pallas, pallas_block, zd09_every, cfg)
+        y_means.append(jnp.mean(y_pred, axis=0))
+
+    return dict(theta_mean=jnp.mean(theta_m, axis=0),
+                theta_std=jnp.std(theta_m, axis=0),
+                state=state_m,
+                y_pred_mean=jnp.stack(y_means))
