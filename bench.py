@@ -42,6 +42,67 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_CELLS_PER_S_PER_CORE = 500.0
 
 
+def _bench_flagship(n_warmup: int = 3, n_iters: int = 50) -> dict:
+    """Measure the FULL production-default day step (VERDICT r3 item 2).
+
+    ``Config()`` defaults: degree-day snowpack + snow-albedo feedback +
+    prognostic soil ice/temperature + frozen-soil impedance + carbon
+    cascade + linear-reservoir lateral routing + zd09_every=8, on the
+    real 0.5-degree land grid (load_soil; n_padded cells), assembled by
+    ``run.Simulation.step_kwargs()`` — exactly the physics a default
+    `run` dispatches per day (the reference day loop this mirrors:
+    HYBRID9.f90:193-217).  Quantifies what the daily XLA side (snow/
+    thermal/carbon/routing around the hydrology kernel) costs on top of
+    the reference-scope line.
+    """
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.data.synthetic import synthetic_forcing_day
+    from hybrid9_tpu.run import Simulation
+    from hybrid9_tpu.state import Forcing
+    from hybrid9_tpu.step import day_step
+
+    cfg = Config()
+    grid, params = load_soil(cfg)
+    sim = Simulation(cfg, params, land_grid=grid)
+    kw = sim.step_kwargs()
+    n_cells = sim.n
+    day = synthetic_forcing_day(n_cells, 180, seed=1, lat=grid.cell_lat)
+    dtype = sim.dtype
+    forcing = Forcing(**{k: jnp.asarray(v, dtype)
+                         for k, v in day.items()})
+
+    step = jax.jit(lambda s, f: day_step(s, f, sim.params, sim.geom,
+                                         cfg.dt, cfg.nisurf, **kw))
+    state = sim.state
+    for _ in range(n_warmup):
+        state, diags = step(state, forcing)
+    float(jnp.sum(state.soil.h2osoi_liq))       # D2H queue drain
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, diags = step(state, forcing)
+    checksum = float(jnp.sum(state.soil.h2osoi_liq))
+    elapsed = time.perf_counter() - t0
+
+    max_res = float(jnp.max(diags["max_abs_residual"]))
+    out = {
+        "value": round(n_cells * n_iters / elapsed, 1),
+        "unit": "grid-cell-days/s/chip",
+        "n_cells": n_cells,
+        "config": "production defaults (snow+albedo+ice+thermal+carbon"
+                  "+routing, zd09=8)",
+        "pallas": bool(sim.use_pallas),
+        "vs_baseline": round(n_cells * n_iters / elapsed
+                             / BASELINE_CELLS_PER_S_PER_CORE, 2),
+    }
+    if not (np.isfinite(checksum) and np.isfinite(max_res)
+            and max_res <= 0.1):
+        out["error"] = f"residual {max_res}"
+        out["value"] = 0.0
+    return out
+
+
 def main() -> None:
     # H9_BENCH_N overrides the cell count; 282624 = padded global
     # 0.25-degree land-cell count (the resolution-scaling second line in

@@ -1,4 +1,4 @@
-"""Ensemble Kalman data assimilation (EnKF) for states and parameters.
+"""Ensemble Kalman data assimilation (EnSRF) for states and parameters.
 
 Third closed-loop capability beyond the reference (after adjoint
 calibration and vmapped ensembles): sequentially assimilate observed
@@ -9,17 +9,30 @@ comparison at one site (HYBRID9.f90:449).
 
 Design (TPU-first, and the standard land-DA configuration):
 
-- **Cell-local scalar-observation EnKF.**  Land-surface DA treats grid
-  cells as independent (the model physics is cell-local, SURVEY.md C14),
-  and the observation at a cell is a scalar (daily ET).  The Kalman
-  update then needs no matrix algebra at all: per cell,
+- **Cell-local scalar-observation square-root filter.**  Land-surface
+  DA treats grid cells as independent (the model physics is cell-local,
+  SURVEY.md C14), and the observation at a cell is a scalar (daily ET).
+  The Kalman update then needs no matrix algebra at all: per cell,
 
-      K_i   = cov_m(x_i, y_i) / (var_m(y_i) + r_i)
-      x_i  += K_i (obs_i + eta - y_i)          (stochastic EnKF)
+      K_i     = cov_m(x_i, y_i) / (var_m(y_i) + r_i)       (mean gain)
+      K~_i    = K_i / (1 + sqrt(r_i / (var_m(y_i) + r_i)))  (anomaly)
+      mean_i += K_i  (obs_i - mean(y_i))
+      dx_i   -= K~_i dy_i                  (per member, deterministic)
 
-  with all moments taken over the member axis.  Every quantity is an
-  ``[m, n]`` array and the update is fused elementwise over cells —
-  exactly the shape the VPU wants, no per-cell solves, no halos.
+  with all moments taken over the member axis (the scalar-observation
+  EnSRF of Whitaker & Hamill 2002 — exact, no perturbed-observation
+  sampling noise).  Every quantity is an ``[m, n]`` array and the
+  update is fused elementwise over cells — exactly the shape the VPU
+  wants, no per-cell solves, no halos.
+- **Relaxation to prior spread (RTPS)** replaces blanket multiplicative
+  inflation: after the analysis, anomalies are rescaled so the
+  posterior spread is ``(1-a)·sigma_analysis + a·sigma_prior``
+  (Whitaker & Hamill 2012).  Because the relaxation only acts where an
+  observation actually contracted the ensemble, unobserved cells are
+  left exactly unchanged — spread cannot grow without bound in cells
+  that are never observed, and the analysis strictly tightens
+  (``sigma_post < sigma_prior`` wherever the observation carries
+  information).
 - **Augmented state.**  The update applies to any pytree of ``[m, n]``
   ensemble anomalies: prognostic water stores AND log-parameter
   multipliers (state augmentation — the standard route to online
@@ -29,11 +42,6 @@ Design (TPU-first, and the standard land-DA configuration):
   ride the packed cell axis through the production Pallas kernel, so a
   DA cycle costs one model day at ensemble width plus an elementwise
   update.
-
-The stochastic-EnKF form (perturbed observations, Burgers et al. 1998)
-keeps the analysis spread consistent with r without a deterministic
-square-root transform; inflation guards the usual sampling-noise
-collapse of small ensembles.
 """
 
 from __future__ import annotations
@@ -53,7 +61,7 @@ from .step import day_step
 
 class EnKFConfig(NamedTuple):
     obs_err_std: float = 0.3     # observation error, mm/day
-    inflation: float = 1.05      # multiplicative anomaly inflation
+    rtps: float = 0.5            # relaxation-to-prior-spread coefficient
     theta_min: float = -2.0      # clamp on log-multipliers
     theta_max: float = 2.0
 
@@ -68,48 +76,55 @@ def enkf_update_scalar_obs(aug: Dict[str, jnp.ndarray],
                            y_pred: jnp.ndarray,
                            obs: jnp.ndarray,
                            obs_mask: jnp.ndarray,
-                           key: jax.Array,
                            cfg: EnKFConfig = EnKFConfig()
                            ) -> Dict[str, jnp.ndarray]:
-    """One cell-local scalar-observation EnKF analysis step.
+    """One cell-local scalar-observation EnSRF analysis step.
 
     Args:
       aug: augmented ensemble — a dict of ``[m, n]`` (or ``[m, n, l]``)
         arrays (water stores, log-multipliers, ...).
       y_pred: ``[m, n]`` predicted observation per member (daily ET).
       obs: ``[n]`` observed values; ``obs_mask``: ``[n]`` validity.
-      key: PRNG key for observation perturbations.
       cfg: EnKF tuning.
 
-    Returns the analysis ensemble (same structure as ``aug``).
+    Returns the analysis ensemble (same structure as ``aug``).  Cells
+    where ``obs_mask`` is false are returned bit-identical: no mean
+    shift, no anomaly scaling (unobserved cells must not drift).
     """
     m = y_pred.shape[0]
-    _, dy = _moments(y_pred)
-    dy = dy * cfg.inflation
+    y_mean, dy = _moments(y_pred)
     var_y = jnp.sum(dy * dy, axis=0) / (m - 1)          # [n]
     r = cfg.obs_err_std ** 2
     denom = var_y + r                                   # [n]
-
-    # Perturbed observations: one draw per member per cell (dtype
-    # pinned to the prediction's — the x64 default would otherwise
-    # promote the whole analysed ensemble to f64).
-    eta = cfg.obs_err_std * jax.random.normal(key, y_pred.shape,
-                                              y_pred.dtype)
-    innov = (obs[None, :].astype(y_pred.dtype) + eta - y_pred)  # [m, n]
-    innov = jnp.where(obs_mask[None, :], innov, 0.0)
+    # Scalar-obs square-root anomaly factor (Whitaker & Hamill 2002
+    # Eq. 13): the anomaly gain is the mean gain shrunk by this.
+    sqrt_fac = 1.0 / (1.0 + jnp.sqrt(r / denom))        # [n]
+    innov = obs.astype(y_pred.dtype) - y_mean[0]        # [n]
 
     def update(x):
         mean, dx = _moments(x)
-        dx = dx * cfg.inflation
         if x.ndim == 3:                                 # [m, n, l]
             cov = jnp.einsum("mn,mnl->nl", dy, dx) / (m - 1)
             gain = cov / denom[:, None]
-            upd = gain[None, :, :] * innov[:, :, None]
+            mean_a = mean + (gain * innov[:, None])[None]
+            dx_a = dx - (sqrt_fac[:, None] * gain)[None] * dy[:, :, None]
+            mask = obs_mask[None, :, None]
         else:                                           # [m, n]
             cov = jnp.sum(dy * dx, axis=0) / (m - 1)
             gain = cov / denom
-            upd = gain[None, :] * innov
-        return mean + dx + upd
+            mean_a = mean + (gain * innov)[None]
+            dx_a = dx - (sqrt_fac * gain)[None] * dy
+            mask = obs_mask[None, :]
+        # RTPS: relax the analysis spread part-way back toward the
+        # prior spread.  sigma_post = (1-a)·sigma_a + a·sigma_f, so the
+        # analysis still strictly tightens wherever it contracted, and
+        # the factor is exactly 1 where the update was a no-op.
+        sig_f = jnp.sqrt(jnp.sum(dx * dx, axis=0) / (m - 1))
+        sig_a = jnp.sqrt(jnp.sum(dx_a * dx_a, axis=0) / (m - 1))
+        relax = 1.0 + cfg.rtps * (sig_f - sig_a) / jnp.maximum(
+            sig_a, jnp.asarray(1.0e-12, sig_a.dtype))
+        x_a = mean_a + dx_a * relax[None]
+        return jnp.where(mask, x_a, x)
 
     return {k: update(v) for k, v in aug.items()}
 
@@ -119,7 +134,7 @@ def enkf_update_scalar_obs(aug: Dict[str, jnp.ndarray],
     "pallas_block", "zd09_every", "cfg"))
 def _enkf_cycle(state_m: ModelState, theta_m: jnp.ndarray,
                 params_tiled: SoilParams, f_day: Forcing,
-                obs: jnp.ndarray, obs_mask: jnp.ndarray, key: jax.Array,
+                obs: jnp.ndarray, obs_mask: jnp.ndarray,
                 geom: Geometry, dt: float, m: int, nisurf: int,
                 vegetation: bool, use_pallas: bool, pallas_block: int,
                 zd09_every: int, cfg: EnKFConfig):
@@ -152,7 +167,7 @@ def _enkf_cycle(state_m: ModelState, theta_m: jnp.ndarray,
         wa=state_m.soil.wa.reshape(m, n),
         theta=theta_m,
     )
-    aug = enkf_update_scalar_obs(aug, y_pred, obs, obs_mask, key, cfg)
+    aug = enkf_update_scalar_obs(aug, y_pred, obs, obs_mask, cfg)
 
     # Physical guards: non-negative stores, bounded multipliers.
     h = jnp.maximum(aug["h2osoi"], 1.0e-3).reshape(m * n, nl)
@@ -172,7 +187,7 @@ def assimilate(params: SoilParams, state0: ModelState,
                vegetation: bool = True, use_pallas: bool = False,
                pallas_block: int = 1024, zd09_every: int = 1,
                cfg: EnKFConfig = EnKFConfig()) -> Dict[str, jnp.ndarray]:
-    """Sequential EnKF over a daily-ET observation record.
+    """Sequential EnSRF over a daily-ET observation record.
 
     Args:
       forcing_days: ``[days, n]`` Forcing pytree.
@@ -191,8 +206,7 @@ def assimilate(params: SoilParams, state0: ModelState,
     if obs_mask is None:
         obs_mask = jnp.ones((ndays, n), bool)
     key = jax.random.PRNGKey(seed)
-    key, k0 = jax.random.split(key)
-    theta_m = theta_spread * jax.random.normal(k0, (m, n),
+    theta_m = theta_spread * jax.random.normal(key, (m, n),
                                                state0.veg.lai.dtype)
 
     def tile(x):
@@ -205,11 +219,10 @@ def assimilate(params: SoilParams, state0: ModelState,
 
     y_means = []
     for d in range(ndays):
-        key, kd = jax.random.split(key)
         f_day = jax.tree_util.tree_map(lambda x: x[d], forcing_days)
         state_m, theta_m, y_pred = _enkf_cycle(
             state_m, theta_m, params_tiled, f_day, obs_et[d],
-            obs_mask[d], kd, geom, c.SDAY / nisurf, m, nisurf,
+            obs_mask[d], geom, c.SDAY / nisurf, m, nisurf,
             vegetation, use_pallas, pallas_block, zd09_every, cfg)
         y_means.append(jnp.mean(y_pred, axis=0))
 

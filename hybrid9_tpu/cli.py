@@ -499,6 +499,103 @@ def cmd_calibrate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_assimilate(args: argparse.Namespace) -> int:
+    """Sequential EnSRF data assimilation on the real configured model
+    (assimilate.py): a parameter-perturbed ensemble forecasts each day,
+    a cell-local scalar-observation square-root analysis updates the
+    soil-water state and per-cell hksat log-multipliers from observed
+    daily ET.  The closed-loop version of the reference's only
+    observation use — the visual LCLIM model-vs-obs CSV comparison
+    (HYBRID9.f90:449).
+
+    Observations: ``--obs-npz`` (arrays ``et`` [days, n_land], optional
+    ``mask``) or ``--obs-twin LOGMULT`` (twin experiment: observations
+    generated by the model under a known hksat log-multiplier; the
+    posterior should recover it where ET carries information)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .assimilate import EnKFConfig, assimilate
+    from .calibrate import apply_multipliers, simulate_daily_et
+    from .config import Config
+    from .data.soil import load_soil
+    from .physics.hydrology import Geometry
+    from .state import initial_state
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = Config.from_json(open(args.config).read())
+    grid, params = load_soil(cfg)
+    lg = cfg.layer_grid()
+    dtype = jnp.dtype(cfg.dtype)
+    nl = lg.nsoil
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    state0 = initial_state(params, lg.dz, lg.zi, dtype)
+    geom = Geometry(zi=tuple(map(float, lg.zi)),
+                    dz_soil=tuple(map(float, lg.dz[:nl])),
+                    zc_soil=tuple(map(float, lg.zc[:nl])))
+    ndays = args.days
+    forcing = _stacked_forcing(cfg, grid, ndays)
+    forcing = jax.tree_util.tree_map(lambda x: x.astype(dtype), forcing)
+    n = grid.n_padded
+
+    mask = np.zeros((ndays, n), bool)
+    mask[:, :grid.n_land] = True       # padding lanes carry no obs
+    if args.obs_npz:
+        with np.load(args.obs_npz) as d:
+            et = np.asarray(d["et"], np.float64)
+            if et.shape != (ndays, grid.n_land):
+                raise SystemExit(
+                    f"--obs-npz et shape {et.shape} != "
+                    f"({ndays}, {grid.n_land}) (days, n_land)")
+            obs = np.zeros((ndays, n))
+            obs[:, :grid.n_land] = et
+            if "mask" in d:
+                mask[:, :grid.n_land] &= np.asarray(d["mask"], bool)
+    elif args.obs_twin is not None:
+        true_theta = {"hksat": jnp.full((), float(args.obs_twin),
+                                        dtype)}
+        obs = np.asarray(simulate_daily_et(
+            true_theta, params, state0, forcing, geom, cfg.nisurf,
+            vegetation=cfg.vegetation))
+        log.info("twin experiment: obs generated at hksat "
+                 "log-multiplier %.3f", args.obs_twin)
+    else:
+        raise SystemExit("assimilate needs --obs-npz or --obs-twin")
+
+    res = assimilate(params, state0, forcing,
+                     jnp.asarray(obs, dtype), geom,
+                     n_members=args.members, nisurf=cfg.nisurf,
+                     obs_mask=jnp.asarray(mask),
+                     theta_spread=args.spread, seed=args.seed,
+                     vegetation=cfg.vegetation,
+                     zd09_every=cfg.zd09_every,
+                     cfg=EnKFConfig(obs_err_std=args.obs_err,
+                                    rtps=args.rtps))
+    tm = np.asarray(res["theta_mean"])
+    ts = np.asarray(res["theta_std"])
+    err = np.abs(np.asarray(res["y_pred_mean"]) - obs)[:, :grid.n_land]
+    early = float(np.mean(err[:max(1, ndays // 5)]))
+    late = float(np.mean(err[-max(1, ndays // 5):]))
+    log.info("assimilate: %d members x %d cells x %d days; posterior "
+             "hksat log-mult mean %.4f (spread %.4f -> %.4f); "
+             "ET innovation %.4g -> %.4g mm/day", args.members, n,
+             ndays, float(np.mean(tm[:grid.n_land])), args.spread,
+             float(np.median(ts[:grid.n_land])), early, late)
+    if args.obs_twin is not None:
+        log.info("  true log-multiplier: %.4f", args.obs_twin)
+    if args.out:
+        np.savez(args.out, theta_mean=tm[:grid.n_land],
+                 theta_std=ts[:grid.n_land],
+                 hksat_multiplier=np.exp(tm[:grid.n_land]),
+                 y_pred_mean=np.asarray(
+                     res["y_pred_mean"])[:, :grid.n_land],
+                 n_land=grid.n_land)
+        log.info("wrote %s", args.out)
+    return 0
+
+
 def cmd_prep_soil(args: argparse.Namespace) -> int:
     """One-time soil preprocessing: raw HWSD/BNU archives -> the
     per-layer parameter file `run` consumes (soil_source='netcdf').
@@ -639,6 +736,37 @@ def main(argv=None) -> int:
     pe.add_argument("--platform", default=None)
     pe.add_argument("--cache-dir", default=".jax_cache")
     pe.set_defaults(fn=cmd_ensemble)
+
+    pa = sub.add_parser("assimilate",
+                        help="sequential EnSRF data assimilation of "
+                             "observed daily ET (ensemble square-root "
+                             "filter; updates soil water + per-cell "
+                             "hksat multipliers)")
+    pa.add_argument("--config", required=True, help="Config JSON file")
+    pa.add_argument("--days", type=int, default=25,
+                    help="days of forcing/observations to assimilate")
+    pa.add_argument("--members", type=int, default=16,
+                    help="ensemble width")
+    pa.add_argument("--obs-npz",
+                    help="observations: npz with 'et' [days, n_land] "
+                         "(mm/day) and optional 'mask'")
+    pa.add_argument("--obs-twin", type=float, default=None,
+                    metavar="LOGMULT",
+                    help="twin experiment: generate obs from the model "
+                         "under this known hksat log-multiplier")
+    pa.add_argument("--spread", type=float, default=0.3,
+                    help="initial std of the hksat log-multiplier "
+                         "ensemble")
+    pa.add_argument("--obs-err", type=float, default=0.1,
+                    help="observation error std (mm/day)")
+    pa.add_argument("--rtps", type=float, default=0.6,
+                    help="relaxation-to-prior-spread coefficient")
+    pa.add_argument("--seed", type=int, default=0)
+    pa.add_argument("--out", default=None,
+                    help="write posterior npz (theta_mean/theta_std/"
+                         "hksat_multiplier per land cell)")
+    pa.add_argument("--platform", default=None)
+    pa.set_defaults(fn=cmd_assimilate)
 
     pp = sub.add_parser("prep-soil",
                         help="preprocess raw HWSD/BNU soil archives")

@@ -304,17 +304,32 @@ def run_site(cfg: Config,
         raise ValueError(f"unknown site engine {engine!r} "
                          "(expected 'oracle' or 'kernel')")
 
+    # Label rows with the true calendar (year, doy): the engines emit
+    # 1-based record positions, which equal day-of-year only for a
+    # single-year record; the reference's LCLIM loop spans syr..eyr
+    # (HYBRID9.f90:339-484), so multi-year records must roll the year.
+    import hybrid9_tpu.calendar as _cal
+    year, doy = cfg.start_year, 1
+    for row in daily:
+        row["year"], row["doy"] = year, doy
+        doy += 1
+        if doy > _cal.days_in_year(year):
+            year, doy = year + 1, 1
+
     if evap_obs_daily:
         # Daily observed ET from a daily record (the reference's unit-10
         # evap_obs_day, HYBRID9.f90:370): sub-daily-derived observations
-        # take precedence where both exist.
+        # take precedence where both exist.  Both sources key by 1-based
+        # RECORD position (read_lclim_daily_csv keys by row order), so
+        # the merge below indexes rows by position, not by the calendar
+        # doy label — a multi-year record stays aligned.
         merged = dict(evap_obs_daily)
         merged.update(evap_obs)
         evap_obs = merged
     has_obs = bool(evap_obs)
     if has_obs:
-        for row in daily:
-            row["evap_obs"] = evap_obs.get(row["doy"], float("nan"))
+        for i, row in enumerate(daily):
+            row["evap_obs"] = evap_obs.get(i + 1, float("nan"))
 
     if csv_out:
         header = CSV_HEADER + (["evap_obs"] if has_obs else [])
@@ -414,6 +429,36 @@ def _fd_step_arrays(forcing: ref.DailyForcing, overrides, nisurf: int,
             for k in keys}
 
 
+def _snow_substep_rain(forc_rain, swe, tas, snow_p):
+    """Daily snow update + sub-daily rain redistribution (all fluxes).
+
+    ``forc_rain`` is ``[nisurf, n]`` in mm/s; ``snow_step`` runs on the
+    day-mean flux and returns the effective rainfall ``pr_eff`` as a
+    flux but the day's melt in mm/day — the melt must be converted back
+    to a flux before it is compared with or added to the sub-daily rain
+    pattern.  The day's liquid (non-snowed) rain keeps its observed
+    sub-daily pattern, rescaled to ``pr_eff - melt_flux``, and melt is
+    released uniformly over the day.
+
+    Conservation (per day, in mm):
+    ``mean(forc_rain')*SDAY + (swe' - swe) + capped
+      == mean(forc_rain)*SDAY``.
+
+    Returns ``(swe_new, forc_rain_new, capped_mm)``.
+    """
+    import jax.numpy as jnp
+
+    from .physics.snow import snow_step
+
+    pr_day = jnp.mean(forc_rain, axis=0)             # mm/s day-mean
+    swe_new, pr_eff, melt, capped = snow_step(swe, tas, pr_day, snow_p)
+    melt_flux = melt / c.SDAY                        # mm/day -> mm/s
+    rain_share = jnp.maximum(pr_eff - melt_flux, 0.0) \
+        / jnp.maximum(pr_day, 1.0e-12)
+    return (swe_new, forc_rain * rain_share + melt_flux[None, :],
+            capped)
+
+
 def _run_site_kernel(cfg: Config, grid: LayerGrid,
                      params: ref.ColumnParams, climate: list,
                      lai_waypoints, subdaily, grow: bool):
@@ -438,7 +483,7 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
     from .physics.hydrology import Geometry, hydrology_substep
     from .physics.layers import stack as _st
     from .physics.layers import unstack as _un
-    from .physics.snow import SnowParams, snow_step
+    from .physics.snow import SnowParams
     from .physics.soilwater import compute_equilibrium_zq
     from .state import initial_state
 
@@ -501,15 +546,9 @@ def _run_site_kernel(cfg: Config, grid: LayerGrid,
 
             snow_capped = jnp.zeros_like(soil.zwt)
             if snow_p is not None:
-                pr_day = jnp.mean(fd_steps["forc_rain"], axis=0)
-                swe, pr_eff, melt, snow_capped = snow_step(
-                    swe, tas, pr_day, snow_p)
-                rain_share = jnp.maximum(pr_eff - melt, 0.0) \
-                    / jnp.maximum(pr_day, 1.0e-12)
-                fd_steps = dict(
-                    fd_steps,
-                    forc_rain=fd_steps["forc_rain"] * rain_share
-                    + melt[None, :])
+                swe, new_rain, snow_capped = _snow_substep_rain(
+                    fd_steps["forc_rain"], swe, tas, snow_p)
+                fd_steps = dict(fd_steps, forc_rain=new_rain)
 
             if zd > 1:
                 def substep(scarry, inp):

@@ -51,9 +51,12 @@ from .utils.logging import get_logger
 
 log = get_logger(__name__)
 
-#: Annual decomposed flux below which a pool is left untouched by the
-#: ratio update (g C/m^2/yr): avoids 0/0 jumps in cells with no inputs
-#: (deserts, permafrost) where the steady state is degenerate.
+#: Annual flux below which a pool's in/out ratio is degenerate
+#: (g C/m^2/yr).  No-throughput pools (outflow ~ 0 too) are left
+#: untouched; pools that decay without input (deserts, permafrost:
+#: outflow > 0, inflow ~ 0) jump straight to their true steady state
+#: of zero — otherwise the cold-start stock decays a sliver per
+#: rehearsal year and pins max|d slow| above any tolerance forever.
 _FLUX_FLOOR = 1.0e-6
 
 _SPIN_STATIC = ("nisurf", "dt", "geom", "use_pallas", "pallas_block",
@@ -102,10 +105,12 @@ def _jump(pool, inflow, outflow, damping: float = 1.0):
     ET -> soil moisture -> growth), where the undamped iteration can
     enter a period-2 limit cycle."""
     ok = (outflow > _FLUX_FLOOR) & (inflow > _FLUX_FLOOR)
+    dead = (outflow > _FLUX_FLOOR) & ~(inflow > _FLUX_FLOOR)
     ratio = inflow / jnp.maximum(outflow, _FLUX_FLOOR)
     if damping != 1.0:
         ratio = ratio ** damping
-    return jnp.where(ok, pool * ratio, pool)
+    return jnp.where(ok, pool * ratio,
+                     jnp.where(dead, jnp.zeros_like(pool), pool))
 
 
 @functools.partial(jax.jit, static_argnames=("spin_vegetation",))

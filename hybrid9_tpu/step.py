@@ -138,6 +138,13 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
                      rnf_day=pd["rnf_day"],
                      max_abs_residual=pd["max_abs_residual"],
                      npp=npp, **vflux)
+        if focus_idx is not None:
+            # One-cell XLA shadow scan: keeps the per-substep focus
+            # water-table trace (HYDROLOGY.f90:509) on the Pallas
+            # production path.
+            diags["wt_substeps"] = _focus_shadow_wt(
+                state, params, forcing, geom, dt, nisurf, imp,
+                zd09_every, sw_abs, focus_idx)
         if snow_capped is not None:    # capped-pack ice runoff (mm)
             diags["rnf_day"] = diags["rnf_day"] + snow_capped
         river, diags = _route(state.river_store, diags, routing)
@@ -154,8 +161,55 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
                           t_soil=t_soil, swe=swe, h2osoi_ice=ice,
                           snowpack=snowpack, carbon=cstate), diags
 
-    fd = derive_forcing(forcing, sw_abs)
+    soil, evap_day, evap_grnd_day, rnf_day, max_res, wt_trace = \
+        _xla_day_substeps(state.soil, state.veg, params, forcing, geom,
+                          dt, nisurf, imp, zd09_every, sw_abs, focus_idx)
     veg = state.veg
+
+    veg, npp, litterfall, vflux = _grow(veg, soil, forcing, geom,
+                                        vegetation)
+
+    diags = dict(
+        evap_day=evap_day,
+        evap_grnd_day=evap_grnd_day,
+        rnf_day=rnf_day,
+        max_abs_residual=max_res,
+        npp=npp,
+        **vflux,
+    )
+    if wt_trace is not None:
+        # Per-substep water-table trace of the focus cell, the analog of
+        # the reference's unit-98 INTERACTIVE dump (HYDROLOGY.f90:509).
+        diags["wt_substeps"] = wt_trace
+    if snow_capped is not None:        # capped-pack ice runoff (mm)
+        diags["rnf_day"] = diags["rnf_day"] + snow_capped
+    river, diags = _route(state.river_store, diags, routing)
+    soil = _lateral(soil, lateral)
+    t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
+                                      geom, soil_ice, sw_abs)
+    cstate, rh, nee, cflux = _carbon(state.carbon, vflux, litterfall,
+                                     t_soil, soil, params, geom, carbon)
+    diags["rh"] = rh
+    diags["nee"] = nee
+    diags.update(cflux)
+    return ModelState(soil=soil, veg=veg, river_store=river,
+                      t_soil=t_soil, swe=swe, h2osoi_ice=ice,
+                      snowpack=snowpack, carbon=cstate), diags
+
+
+def _xla_day_substeps(soil0, veg, params, forcing, geom, dt,
+                      nisurf: int, imp, zd09_every: int, sw_abs,
+                      focus_idx):
+    """The XLA substep loop: ``nisurf`` fused hydrology substeps.
+
+    Shared by the XLA day path (full batch) and the Pallas branch's
+    one-cell focus shadow (``_focus_shadow_wt``).  Returns
+    ``(soil, evap_day, evap_grnd_day, rnf_day, max_res, wt_trace)``
+    with the daily sums riding the scan carry (not stacked ys): less
+    HBM traffic and a smaller XLA graph than materialising
+    ``[nisurf, n]`` flux arrays.
+    """
+    fd = derive_forcing(forcing, sw_abs)
     n = forcing.tas.shape[0]
     dtype = forcing.tas.dtype
     zeros = jnp.zeros((n,), dtype)
@@ -164,8 +218,6 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
     from .physics.et import daily_et_context
     et_ctx = daily_et_context(fd, veg.lai)
 
-    # Daily sums ride the scan carry (not stacked ys): less HBM traffic
-    # and a smaller XLA graph than materialising [nisurf, n] flux arrays.
     if zd09_every > 1:
         # Refresh the ZD09 equilibrium profile AND the drainage
         # specific-yield profile only every zd09_every substeps (see
@@ -201,10 +253,10 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
             ys = soil.zwt[focus_idx] if focus_idx is not None else None
             return (soil, zq, sy, evap, evap_grnd, rnf, max_res), ys
 
-        nl = state.soil.h2osoi_liq.shape[1]
+        nl = soil0.h2osoi_liq.shape[1]
         zq0 = jnp.zeros((n, nl + 1), dtype)
         sy0 = jnp.zeros((n, nl), dtype)
-        carry0 = (state.soil, zq0, sy0, zeros, zeros, zeros, zeros)
+        carry0 = (soil0, zq0, sy0, zeros, zeros, zeros, zeros)
         (soil, _zq, _sy, evap_day, evap_grnd_day, rnf_day, max_res), \
             wt_trace = jax.lax.scan(substep, carry0, jnp.arange(nisurf))
     else:
@@ -219,39 +271,41 @@ def day_step(state: ModelState, forcing: Forcing, params: SoilParams,
             ys = soil.zwt[focus_idx] if focus_idx is not None else None
             return (soil, evap, evap_grnd, rnf, max_res), ys
 
-        carry0 = (state.soil, zeros, zeros, zeros, zeros)
+        carry0 = (soil0, zeros, zeros, zeros, zeros)
         (soil, evap_day, evap_grnd_day, rnf_day, max_res), wt_trace = \
             jax.lax.scan(substep, carry0, None, length=nisurf)
+    return soil, evap_day, evap_grnd_day, rnf_day, max_res, wt_trace
 
-    veg, npp, litterfall, vflux = _grow(veg, soil, forcing, geom,
-                                        vegetation)
 
-    diags = dict(
-        evap_day=evap_day,
-        evap_grnd_day=evap_grnd_day,
-        rnf_day=rnf_day,
-        max_abs_residual=max_res,
-        npp=npp,
-        **vflux,
-    )
-    if wt_trace is not None:
-        # Per-substep water-table trace of the focus cell, the analog of
-        # the reference's unit-98 INTERACTIVE dump (HYDROLOGY.f90:509).
-        diags["wt_substeps"] = wt_trace
-    if snow_capped is not None:        # capped-pack ice runoff (mm)
-        diags["rnf_day"] = diags["rnf_day"] + snow_capped
-    river, diags = _route(state.river_store, diags, routing)
-    soil = _lateral(soil, lateral)
-    t_soil, soil, ice = _soil_thermal(state, soil, params, forcing,
-                                      geom, soil_ice, sw_abs)
-    cstate, rh, nee, cflux = _carbon(state.carbon, vflux, litterfall,
-                                     t_soil, soil, params, geom, carbon)
-    diags["rh"] = rh
-    diags["nee"] = nee
-    diags.update(cflux)
-    return ModelState(soil=soil, veg=veg, river_store=river,
-                      t_soil=t_soil, swe=swe, h2osoi_ice=ice,
-                      snowpack=snowpack, carbon=cstate), diags
+def _focus_shadow_wt(state: ModelState, params, forcing, geom, dt,
+                     nisurf: int, imp, zd09_every: int, sw_abs,
+                     focus_idx: int) -> jnp.ndarray:
+    """Per-substep water-table trace of the focus cell on the Pallas
+    path (VERDICT r3 item 5): a one-cell XLA shadow of the day's
+    substep loop, started from the same day-start state and forcing
+    the Pallas kernel consumes, with the same ZD09 refresh cadence —
+    so INTERACTIVE runs on TPU keep the reference's unit-98 artifact
+    (HYDROLOGY.f90:509).  Costs one cell x nisurf substeps per day
+    (negligible next to the [n]-cell kernel); the trace agrees with
+    the kernel's own trajectory to the Pallas-vs-XLA parity tolerance
+    (tests/test_pallas_day.py).
+
+    Returns the ``[nisurf]`` zwt trace.
+    """
+    def sl(x):
+        return (x[focus_idx:focus_idx + 1]
+                if hasattr(x, "ndim") and x.ndim >= 1 else x)
+
+    soil1 = jax.tree_util.tree_map(sl, state.soil)
+    veg1 = jax.tree_util.tree_map(sl, state.veg)
+    p1 = jax.tree_util.tree_map(sl, params)
+    f1 = jax.tree_util.tree_map(sl, forcing)
+    imp1 = sl(imp) if imp is not None else None
+    sw1 = sl(sw_abs) if sw_abs is not None else None
+    *_rest, wt_trace = _xla_day_substeps(soil1, veg1, p1, f1, geom, dt,
+                                         nisurf, imp1, zd09_every, sw1,
+                                         focus_idx=0)
+    return wt_trace
 
 
 def _grow(veg, soil, forcing, geom, vegetation: bool):

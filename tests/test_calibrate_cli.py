@@ -81,3 +81,28 @@ def test_ensemble_cli(cfg_path):
     # Member 0 is the unperturbed control: finite and within the
     # spread's neighborhood of the mean.
     assert np.all(np.isfinite(back["evap_control"][land]))
+
+
+def test_assimilate_cli_twin(cfg_path):
+    """`assimilate --config --obs-twin`: the EnSRF twin run recovers a
+    known hksat log-multiplier (VERDICT r3 item 1) and writes the
+    posterior npz."""
+    p, d = cfg_path
+    out = os.path.join(d, "enkf.npz")
+    rc = main(["assimilate", "--config", p, "--obs-twin", "0.5",
+               "--days", "20", "--members", "12", "--out", out])
+    assert rc == 0
+    with np.load(out) as z:
+        tm = z["theta_mean"]
+        ts = z["theta_std"]
+        mult = z["hksat_multiplier"]
+        n_land = int(z["n_land"])
+    assert tm.shape == (n_land,) and np.all(np.isfinite(tm))
+    assert np.all(np.isfinite(ts)) and np.all(ts >= 0.0)
+    # Cells with ET signal pull the posterior toward log-mult 0.5
+    # (multiplier e^0.5 = 1.65): the upper half of the movement
+    # distribution should be clearly off the 1.0 prior.
+    top = np.sort(mult)[n_land // 2:]
+    assert float(np.median(top)) > 1.05
+    # Nothing diverged: multipliers stay inside the filter clamp.
+    assert np.all(np.abs(tm) <= 2.0)

@@ -360,3 +360,54 @@ def test_site_subdaily_overrides(tmp_path):
     assert d5o["theta1"] > d5p["theta1"]
     worst = max(r["max_residual"] for r in res_over.daily)
     assert worst < 1e-6
+
+
+def test_checkpoint_schema_migration_sharded(tmp_path, layer_grid):
+    """VERDICT r3 item 4: the SHARDED restore path must migrate schema
+    too — an old checkpoint (missing fields, plus a since-removed
+    field) restores cell-sharded over the 8-device mesh, missing fields
+    template-filled, extra fields dropped."""
+    ocp = pytest.importorskip("orbax.checkpoint")
+    import dataclasses
+
+    import jax
+
+    from hybrid9_tpu.data.synthetic import synthetic_soil_params
+    from hybrid9_tpu.io.checkpoint import Checkpointer
+    from hybrid9_tpu.parallel.sharding import CellSharding
+    from hybrid9_tpu.state import SoilParams, initial_state
+
+    n = 32                                   # divisible by 8 devices
+    raw = synthetic_soil_params(n, seed=0)
+    params = SoilParams(**{k: jnp.asarray(v, jnp.float32)
+                           for k, v in raw.items()})
+    state = initial_state(params, layer_grid.dz, layer_grid.zi,
+                          jnp.float32)
+    old_tree = dataclasses.asdict(state)
+    old_tree.pop("swe")
+    old_tree.pop("snowpack")
+    # A field the current schema no longer has (must be ignored, and
+    # its odd length must not break the cell sharding).
+    old_tree["legacy_counter"] = jnp.arange(3.0)
+    ckpt = Checkpointer(str(tmp_path / "ckpt_old_sh"))
+    ckpt.manager.save(1907, args=ocp.args.StandardSave(old_tree))
+    ckpt.wait()
+
+    sharding = CellSharding.create(jax.devices()[:8])
+    year, restored = ckpt.restore(state, sharding=sharding)
+    assert year == 1907
+    # Present fields: values preserved, cell-sharded.
+    np.testing.assert_array_equal(np.asarray(restored.soil.h2osoi_liq),
+                                  np.asarray(state.soil.h2osoi_liq))
+    assert restored.soil.h2osoi_liq.sharding.is_equivalent_to(
+        sharding.spec_for(state.soil.h2osoi_liq),
+        state.soil.h2osoi_liq.ndim)
+    # Missing fields: template defaults, cell-sharded.
+    np.testing.assert_array_equal(np.asarray(restored.swe), 0.0)
+    assert restored.swe.sharding.is_equivalent_to(
+        sharding.spec_for(state.swe), 1)
+    from hybrid9_tpu.physics import constants as c
+    np.testing.assert_allclose(np.asarray(restored.snowpack.t_surf),
+                               c.TF, rtol=1e-6)
+    assert not hasattr(restored, "legacy_counter")
+    ckpt.close()

@@ -294,3 +294,89 @@ def test_two_process_run_matches_single(tmp_path):
     # Physical sanity on the stitched file.
     assert 200.0 < np.nanmean(multi["tas"]) < 320.0
     assert np.nanmax(multi["max_abs_residual"]) < 0.1
+
+
+def test_two_process_resume_across_schema_change(tmp_path):
+    """Multi-host resume across a state-schema change (VERDICT r3
+    item 4): year-1 runs under 2 processes, the checkpoint is rewritten
+    WITHOUT one state field (simulating a checkpoint that predates a
+    schema extension), and a 2-process ``--resume`` must migrate —
+    sharded partial restore + template fill — and still match the
+    uninterrupted run bitwise on all shared fields.  (`swe` is inert
+    under this config's snow=False, so the template default equals the
+    uninterrupted trajectory.)"""
+    from hybrid9_tpu.io import netcdf
+
+    # --- uninterrupted 2-process run, 1901-1902 -------------------------
+    out_full = str(tmp_path / "full")
+    cfg_full = dict(CFG, end_year=1902, output_path=out_full,
+                    checkpoint_every_years=1,
+                    checkpoint_path=str(tmp_path / "ck_full"))
+    p_full = str(tmp_path / "cfg_full.json")
+    with open(p_full, "w") as f:
+        json.dump(cfg_full, f)
+    _launch_group(p_full, 2)
+
+    # --- interrupted: 1901 only, checkpoint written ----------------------
+    out_resume = str(tmp_path / "resume")
+    ck_path = str(tmp_path / "ck_resume")
+    cfg_y1 = dict(CFG, end_year=1901, output_path=out_resume,
+                  checkpoint_every_years=1, checkpoint_path=ck_path)
+    p_y1 = str(tmp_path / "cfg_y1.json")
+    with open(p_y1, "w") as f:
+        json.dump(cfg_y1, f)
+    _launch_group(p_y1, 2)
+
+    # --- rewrite the checkpoint as an "old schema" (drop swe) ------------
+    import jax
+
+    import orbax.checkpoint as ocp
+    ck_old = str(tmp_path / "ck_old")
+    mgr = ocp.CheckpointManager(os.path.abspath(ck_path),
+                                item_handlers=ocp.StandardCheckpointHandler())
+    step = mgr.latest_step()
+    # The checkpoint was written under a different (2-process) device
+    # topology, so a raw restore is rejected; build the abstract tree
+    # from the checkpoint's own metadata instead.
+    meta_tree = getattr(mgr.item_metadata(step), "tree", None)
+
+    one_dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def _abstract(node):
+        if isinstance(node, dict):
+            return {k: _abstract(v) for k, v in node.items()}
+        return jax.ShapeDtypeStruct(tuple(node.shape), node.dtype,
+                                    sharding=one_dev)
+
+    raw = mgr.restore(
+        step, args=ocp.args.StandardRestore(_abstract(meta_tree)))
+    mgr.close()
+    assert "swe" in raw
+    raw.pop("swe")
+    mgr2 = ocp.CheckpointManager(os.path.abspath(ck_old))
+    mgr2.save(step, args=ocp.args.StandardSave(raw))
+    mgr2.wait_until_finished()
+    mgr2.close()
+
+    # --- resume through 1902 under 2 fresh processes ---------------------
+    cfg_y2 = dict(CFG, end_year=1902, output_path=out_resume,
+                  checkpoint_every_years=1, checkpoint_path=ck_old)
+    p_y2 = str(tmp_path / "cfg_y2.json")
+    with open(p_y2, "w") as f:
+        json.dump(cfg_y2, f)
+    _, outs = _launch_group(p_y2, 2, extra_args=("--resume",))
+    for text in outs:
+        assert "sharded schema migration: 1 field(s)" in text, \
+            f"resume did not migrate:\n{text[-2000:]}"
+        assert "restored sharded checkpoint for year 1901" in text
+
+    fields = ["tas", "npp", "rnf", "evap", "theta", "theta_total",
+              "max_abs_residual"]
+    full = netcdf.read_grid_file(os.path.join(out_full, "axy1902.nc"),
+                                 fields)
+    res = netcdf.read_grid_file(os.path.join(out_resume, "axy1902.nc"),
+                                fields)
+    for name in fields:
+        np.testing.assert_array_equal(
+            np.nan_to_num(res[name]), np.nan_to_num(full[name]),
+            err_msg=f"schema-migrated resume differs in {name}")

@@ -96,3 +96,39 @@ def test_pallas_day_sharded_8dev():
     np.testing.assert_allclose(np.asarray(diags_sh["evap_day"]),
                                np.asarray(ref_diags["evap_day"]),
                                rtol=5e-3, atol=1e-3)
+
+
+def test_pallas_path_keeps_focus_wt_trace():
+    """VERDICT r3 item 5: the Pallas production branch must emit the
+    per-substep focus-cell water-table trace (the reference's unit-98
+    INTERACTIVE artifact, HYDROLOGY.f90:509) via the one-cell XLA
+    shadow scan, matching the XLA path's trace."""
+    n = 256
+    step_fn, state, forcing, params, geom, cfg = _build_small(n)
+    focus = 37
+
+    _, xla_diags = day_step(state, forcing, params, geom, cfg.dt,
+                            cfg.nisurf, focus_idx=focus)
+    assert xla_diags["wt_substeps"].shape == (cfg.nisurf,)
+
+    from hybrid9_tpu.physics import pallas_day as pd
+    orig = pd.pallas_hydrology_day
+
+    def interp(soil, veg, params_, forcing_, geom_, dt, nisurf,
+               block=1024, interpret=False, imp=None, **kw):
+        return orig(soil, veg, params_, forcing_, geom_, dt, nisurf,
+                    block=min(block, 256), interpret=True, imp=imp, **kw)
+
+    pd.pallas_hydrology_day = interp
+    try:
+        _, pal_diags = day_step(state, forcing, params, geom, cfg.dt,
+                                cfg.nisurf, use_pallas=True,
+                                focus_idx=focus)
+    finally:
+        pd.pallas_hydrology_day = orig
+    assert pal_diags["wt_substeps"].shape == (cfg.nisurf,)
+    # The shadow replays the identical XLA substep math, so the two
+    # traces agree to round-off.
+    np.testing.assert_allclose(np.asarray(pal_diags["wt_substeps"]),
+                               np.asarray(xla_diags["wt_substeps"]),
+                               rtol=1e-6, atol=1e-8)
