@@ -146,7 +146,12 @@ def drainage(h2osoi: List[jnp.ndarray], zwt: jnp.ndarray, wa: jnp.ndarray,
 
     # --- Baseflow (HYDROLOGY.f90:1013-1123) -------------------------------
     zwtmm1 = 1000.0 * zwt1
-    rsub_top = c.RSUB_TOP_MAX * jnp.exp(-c.FFF * zwt1)
+    # The exp argument is guarded against pathological negative tables
+    # (a mis-assembled solve once drove zwt1 to -1e5 m and the f32 exp
+    # to inf -> wa = -inf); in every sane regime zwt1 >= 0 and the
+    # guard is exact.  The state clamp to [0, 80] happens below, as in
+    # the reference (HYDROLOGY.f90:1122-1123).
+    rsub_top = c.RSUB_TOP_MAX * jnp.exp(-c.FFF * jnp.maximum(zwt1, -1.0))
     s_y_1 = s_y_prof if s_y_prof is not None else [
         _specific_yield(theta_s[i], psi_s[i], bsw[i], zwtmm1)
         for i in range(nl)]

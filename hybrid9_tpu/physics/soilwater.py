@@ -95,9 +95,28 @@ def _equilibrium_profile(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
         zq_i = ps * jnp.maximum(vol_eq / ts, 0.01) ** (-bs)
         zq.append(jnp.maximum(c.SMPMIN, zq_i))
 
-    # Virtual aquifer layer, only meaningful when the table is below the
-    # column (HYDROLOGY.f90:574-590); uses bottom-layer soil properties.
-    tsl, psl, bl = theta_s[-1], psi_s[-1], bsw[-1]
+    zq.append(_aquifer_zq(zwtmm, jwt, theta_s[-1], psi_s[-1], bsw[-1],
+                          zi, nl))
+    return zq
+
+
+def _aquifer_zq(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
+                tsl: jnp.ndarray, psl: jnp.ndarray, bl: jnp.ndarray,
+                zi: jnp.ndarray, nl: int) -> jnp.ndarray:
+    """Virtual aquifer-layer equilibrium potential ``zq[nl]``.
+
+    Only meaningful when the table is below the column
+    (HYDROLOGY.f90:574-590); uses bottom-layer soil properties and is
+    ZERO where ``jwt < nl``.  Because of that branch gate this entry is
+    DISCONTINUOUS in zwt at the column bottom (it jumps 0 -> ~psi_s as
+    the table crosses zi(nl)), so unlike the per-layer entries it must
+    never be served stale: a cell whose table crosses below-column
+    between ``zd09_every`` refreshes would otherwise feed a zeroed
+    ``zq[nl]`` into the aquifer coupling of the implicit solve,
+    mis-assembling the matrix tail (observed in round 4 as a
+    year-1902 wa -> -inf blowup of a knife-edge cell pinned at
+    zwt == zi(8); see soil_water_update).
+    """
     maskq = jwt == nl
     base_aq = jnp.where(maskq, (-psl + zwtmm - zi[nl]) / (-psl), 1.0)
     temp0_aq = base_aq ** (1.0 - 1.0 / bl)
@@ -106,8 +125,7 @@ def _equilibrium_profile(zwtmm: jnp.ndarray, jwt: jnp.ndarray,
     vol_aq = jnp.minimum(tsl, jnp.maximum(vol_aq, 0.0))
     zq_aq = jnp.maximum(c.SMPMIN,
                         psl * jnp.maximum(vol_aq / tsl, 0.01) ** (-bl))
-    zq.append(jnp.where(maskq, zq_aq, 0.0))
-    return zq
+    return jnp.where(maskq, zq_aq, 0.0)
 
 
 def compute_equilibrium_zq(zwt: jnp.ndarray, theta_s: List[jnp.ndarray],
@@ -246,6 +264,14 @@ def soil_water_update(h2osoi: List[jnp.ndarray], theta: List[jnp.ndarray],
 
     if zq is None:
         zq = _equilibrium_profile(zwtmm, jwt, theta_s, psi_s, bsw, zi)
+    else:
+        # Cached profile (zd09_every > 1): the nl per-layer entries are
+        # continuous in zwt and safe to serve a few substeps stale, but
+        # the branch-gated aquifer entry is NOT (see _aquifer_zq) —
+        # recompute it fresh at the CURRENT table position (2 pows, vs
+        # the ~26 the cache saves).
+        zq = list(zq[:nl]) + [_aquifer_zq(zwtmm, jwt, theta_s[-1],
+                                          psi_s[-1], bsw[-1], zi, nl)]
     hk, dhkdw, smp, dsmpdw = _conductivity_and_potential(
         theta, theta_s, hksat, psi_s, bsw, imp)
 

@@ -83,3 +83,90 @@ def test_pallas_refresh_matches_xla_refresh():
                                np.asarray(xla_state.soil.h2osoi_liq),
                                rtol=5e-4, atol=5e-3)
     assert float(jnp.max(pdiags["max_abs_residual"])) < 0.1
+
+
+def test_cached_profile_aquifer_entry_is_fresh():
+    """Round-4 blowup regression (mechanism level): the cached ZD09
+    profile's aquifer entry zq[nl] is branch-gated at refresh time, so
+    a cell whose water table crosses below the column bottom between
+    refreshes must NOT see the refresh-time (zeroed) entry — the
+    below-column matrix tail would be mis-assembled (observed as a
+    wa -> -inf blowup after ~2 years at zd09_every=8).
+    soil_water_update now recomputes zq[nl] fresh each call."""
+    from hybrid9_tpu.physics.layers import stack, unstack
+    from hybrid9_tpu.physics.soilwater import (compute_equilibrium_zq,
+                                               soil_water_update)
+
+    n = 64
+    _, state, forcing, params, geom, cfg = _build_small(n)
+    dt = cfg.dt
+    nl = state.soil.h2osoi_liq.shape[1]
+    dz = jnp.asarray(geom.dz_soil)
+    # Nearly saturated column so the table is physically at the bottom.
+    h = params.theta_s * 0.95 * dz[None, :]
+    zi_bot = geom.zi[nl] / 1000.0                 # column bottom (m)
+    zwt_in = jnp.full((n,), zi_bot - 0.01)        # in-column
+    zwt_below = jnp.full((n,), zi_bot + 0.05)     # below-column
+    smp = jnp.full((n, nl), -1000.0)
+    rootr = state.veg.rootr
+    infl = jnp.full((n,), 1.0e-6)
+    tran = jnp.full((n,), 1.0e-7)
+    zi = jnp.asarray(geom.zi)
+
+    def run(zwt_now, zq):
+        return soil_water_update(
+            unstack(h), [h[:, i] / dz[i] for i in range(nl)], zwt_now,
+            unstack(params.theta_s), unstack(params.hksat),
+            unstack(params.psi_s), unstack(params.bsw), infl, tran,
+            unstack(rootr), zi, dz, jnp.asarray(geom.zc_soil), dt,
+            zq=zq)
+
+    # Stale cache: profile taken at the IN-COLUMN table, used below.
+    zq_stale = compute_equilibrium_zq(
+        zwt_in, unstack(params.theta_s), unstack(params.psi_s),
+        unstack(params.bsw), zi)
+    zq_fresh = compute_equilibrium_zq(
+        zwt_below, unstack(params.theta_s), unstack(params.psi_s),
+        unstack(params.bsw), zi)
+    # The stale cache's aquifer entry really is zeroed (the hazard).
+    assert float(jnp.max(jnp.abs(zq_stale[nl]))) == 0.0
+    assert float(jnp.min(jnp.abs(zq_fresh[nl]))) > 100.0
+
+    out_stale = run(zwt_below, zq_stale)
+    out_fresh = run(zwt_below, zq_fresh)
+    # With the fix the aquifer coupling (qcharge, the blowup driver)
+    # stays in the fresh profile's neighborhood — the residual gap is
+    # the accepted per-layer staleness (the table crossed layer 8's
+    # boundary between the two profiles), NOT the zeroed-entry
+    # mis-assembly, which was off by the ~|psi_s| ~ 600 mm potential
+    # jump (orders of magnitude in the flux, opposite sign regimes).
+    qs = np.asarray(out_stale.qcharge)
+    qf = np.asarray(out_fresh.qcharge)
+    assert np.all(np.isfinite(qs))
+    assert np.all(np.sign(qs) == np.sign(qf))
+    np.testing.assert_allclose(qs, qf, rtol=0.5)
+
+
+def test_knife_edge_water_table_survives_zd09_interval():
+    """Round-4 blowup regression (integration level): a column whose
+    water table sits ON the soil-column bottom interface (zwt ==
+    zi(nl)) flickers between the in-column and below-column branches
+    every substep; 30 days at zd09_every=8 must stay finite and
+    conserving (pre-fix this configuration diverged)."""
+    n = 64
+    _, state, forcing, params, geom, cfg = _build_small(n)
+    nl = state.soil.h2osoi_liq.shape[1]
+    dtype = state.soil.h2osoi_liq.dtype
+    dz = jnp.asarray(geom.dz_soil, dtype)
+    zi_bot = geom.zi[nl] / 1000.0
+    soil = state.soil.replace(
+        h2osoi_liq=(params.theta_s * 0.97 * dz[None, :]).astype(dtype),
+        zwt=jnp.full((n,), zi_bot, dtype),  # exactly on the interface
+        wa=jnp.full((n,), 4500.0, dtype))
+    state = state.replace(soil=soil)
+    state, worst = _run_days(state, forcing, params, geom, cfg, 30,
+                             zd09_every=8)
+    assert np.all(np.isfinite(np.asarray(state.soil.wa)))
+    assert np.all(np.isfinite(np.asarray(state.soil.zwt)))
+    assert np.all(np.isfinite(np.asarray(state.soil.h2osoi_liq)))
+    assert worst < 0.1
