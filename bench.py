@@ -189,6 +189,15 @@ def main() -> None:
         "pallas": use_pallas,
         "sharded": shard,
     }
+    # Flagship line (VERDICT r3 item 2): the FULL production-default day
+    # step measured alongside the reference-scope number, nested so the
+    # driver's one-JSON-line record carries both.  H9_BENCH_FLAGSHIP=0
+    # skips it (e.g. for quick mode sweeps).
+    if os.environ.get("H9_BENCH_FLAGSHIP", "1") != "0" and not shard:
+        try:
+            result["flagship"] = _bench_flagship()
+        except Exception as e:          # keep the headline line alive
+            result["flagship"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))
 
 

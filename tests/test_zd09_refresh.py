@@ -170,3 +170,35 @@ def test_knife_edge_water_table_survives_zd09_interval():
     assert np.all(np.isfinite(np.asarray(state.soil.zwt)))
     assert np.all(np.isfinite(np.asarray(state.soil.h2osoi_liq)))
     assert worst < 0.1
+
+
+def test_refresh_interval_drift_bounded_60_days():
+    """VERDICT r3 item 3 (regression beyond 20 days): the k=8
+    approximation's trajectory drift over 60 days stays bounded and
+    does NOT accelerate (second-30-day drift growth comparable to the
+    first's; the knife-edge blowup mode is pinned separately)."""
+    n = 128
+    _, state, forcing, params, geom, cfg = _build_small(n)
+    exact20, _ = _run_days(state, forcing, params, geom, cfg, 20)
+    lazy20, _ = _run_days(state, forcing, params, geom, cfg, 20,
+                          zd09_every=8)
+    exact60, r1 = _run_days(state, forcing, params, geom, cfg, 60)
+    lazy60, r8 = _run_days(state, forcing, params, geom, cfg, 60,
+                           zd09_every=8)
+    assert r1 < 0.1 and r8 < 0.1
+
+    def gap(a, b):
+        return float(np.max(np.abs(np.asarray(a.soil.h2osoi_liq)
+                                   - np.asarray(b.soil.h2osoi_liq))))
+
+    g20 = gap(exact20, lazy20)
+    g60 = gap(exact60, lazy60)
+    assert np.all(np.isfinite(np.asarray(lazy60.soil.h2osoi_liq)))
+    # Bounded in absolute terms, and sub-linear-ish in time: 3x the
+    # window must not grow the max layer-water gap by more than ~6x.
+    assert g60 < 3.0, f"60-day drift {g60} mm"
+    assert g60 < 6.0 * max(g20, 0.05), \
+        f"drift accelerating: {g20} mm @20d -> {g60} mm @60d"
+    np.testing.assert_allclose(np.asarray(lazy60.soil.zwt),
+                               np.asarray(exact60.soil.zwt),
+                               rtol=2e-2, atol=2e-2)
