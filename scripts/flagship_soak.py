@@ -31,6 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--years", type=int, default=20)
+    ap.add_argument("--resolution", type=float, default=0.5)
     args = ap.parse_args()
 
     from hybrid9_tpu.config import Config
@@ -40,6 +41,7 @@ def main() -> int:
     from hybrid9_tpu.run import Simulation
 
     cfg = Config(start_year=1901, end_year=1900 + args.years,
+                 resolution_deg=args.resolution,
                  forcing="device-synthetic", write_annual=False)
     grid, params = load_soil(cfg)
     provider = DeviceSyntheticForcingProvider(
