@@ -217,16 +217,24 @@ def assimilate(params: SoilParams, state0: ModelState,
         lambda x: tile(x) if (hasattr(x, "ndim") and x.ndim >= 1
                               and x.shape[0] == n) else x, state0)
 
-    y_means = []
-    for d in range(ndays):
-        f_day = jax.tree_util.tree_map(lambda x: x[d], forcing_days)
+    # The whole DA window is ONE lax.scan over days (the square-root
+    # analysis is deterministic — no per-day PRNG — so forecast +
+    # analysis compile once and the per-day host dispatch disappears;
+    # the cycle body is rematerialised so reverse use stays bounded).
+    @jax.checkpoint
+    def cycle(carry, inp):
+        state_m, theta_m = carry
+        f_day, obs_d, mask_d = inp
         state_m, theta_m, y_pred = _enkf_cycle(
-            state_m, theta_m, params_tiled, f_day, obs_et[d],
-            obs_mask[d], geom, c.SDAY / nisurf, m, nisurf,
-            vegetation, use_pallas, pallas_block, zd09_every, cfg)
-        y_means.append(jnp.mean(y_pred, axis=0))
+            state_m, theta_m, params_tiled, f_day, obs_d, mask_d,
+            geom, c.SDAY / nisurf, m, nisurf, vegetation, use_pallas,
+            pallas_block, zd09_every, cfg)
+        return (state_m, theta_m), jnp.mean(y_pred, axis=0)
+
+    (state_m, theta_m), y_means = jax.lax.scan(
+        cycle, (state_m, theta_m), (forcing_days, obs_et, obs_mask))
 
     return dict(theta_mean=jnp.mean(theta_m, axis=0),
                 theta_std=jnp.std(theta_m, axis=0),
                 state=state_m,
-                y_pred_mean=jnp.stack(y_means))
+                y_pred_mean=y_means)
