@@ -42,3 +42,20 @@ def geometry_np(layer_grid):
 
 def pytest_configure(config):
     np.seterr(all="ignore")
+
+
+def pytest_sessionstart(session):
+    """Build the native host library once if the toolchain is present,
+    so the real C++ paths are tested instead of skipping (the NumPy
+    fallback tests run either way)."""
+    import shutil
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libh9io.so")
+    if not os.path.exists(so) and shutil.which("make") \
+            and shutil.which("g++"):
+        try:
+            subprocess.run(["make", "-C", os.path.join(root, "native")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            pass                       # fallback paths still tested
