@@ -59,3 +59,19 @@ def pytest_sessionstart(session):
                            check=True, capture_output=True, timeout=120)
         except Exception:
             pass                       # fallback paths still tested
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable caches after each test module.
+
+    Running the whole suite in ONE process used to segfault inside the
+    XLA CPU compiler around test ~140 (accumulated compiler/executable
+    state; every test passed in isolation or in halves).  Dropping the
+    caches at module boundaries keeps the live-executable population
+    bounded; within-module caching (the expensive repeated day steps)
+    is unaffected.
+    """
+    yield
+    import jax
+    jax.clear_caches()
