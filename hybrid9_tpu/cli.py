@@ -574,24 +574,39 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
     else:
         raise SystemExit("assimilate needs --obs-npz or --obs-twin")
 
+    # Members fold into the cell axis (assimilate.py), so the Pallas
+    # day kernel runs the ensemble forecast at production speed on TPU
+    # (same auto rule as `ensemble`).
+    n_total = args.members * n
+    use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                  else (jax.default_backend() == "tpu"
+                        and n_total % cfg.pallas_block == 0))
+    import time
+    t0 = time.perf_counter()
     res = assimilate(params, state0, forcing,
                      jnp.asarray(obs, dtype), geom,
                      n_members=args.members, nisurf=cfg.nisurf,
                      obs_mask=jnp.asarray(mask),
                      theta_spread=args.spread, seed=args.seed,
                      vegetation=cfg.vegetation,
+                     use_pallas=use_pallas,
+                     pallas_block=cfg.pallas_block,
                      zd09_every=cfg.zd09_every,
                      cfg=EnKFConfig(obs_err_std=args.obs_err,
                                     rtps=args.rtps))
+    res = {k: (jax.block_until_ready(v) if hasattr(v, "block_until_ready")
+               else v) for k, v in res.items()}
+    elapsed = time.perf_counter() - t0
     tm = np.asarray(res["theta_mean"])
     ts = np.asarray(res["theta_std"])
     err = np.abs(np.asarray(res["y_pred_mean"]) - obs)[:, :grid.n_land]
     early = float(np.mean(err[:max(1, ndays // 5)]))
     late = float(np.mean(err[-max(1, ndays // 5):]))
-    log.info("assimilate: %d members x %d cells x %d days; posterior "
-             "hksat log-mult mean %.4f (spread %.4f -> %.4f); "
-             "ET innovation %.4g -> %.4g mm/day", args.members, n,
-             ndays, float(np.mean(tm[:grid.n_land])), args.spread,
+    log.info("assimilate: %d members x %d cells x %d days in %.2fs "
+             "(pallas=%s, incl. compile); posterior hksat log-mult "
+             "mean %.4f (spread %.4f -> %.4f); ET innovation %.4g -> "
+             "%.4g mm/day", args.members, n, ndays, elapsed,
+             use_pallas, float(np.mean(tm[:grid.n_land])), args.spread,
              float(np.median(ts[:grid.n_land])), early, late)
     if args.obs_twin is not None:
         log.info("  true log-multiplier: %.4f", args.obs_twin)
