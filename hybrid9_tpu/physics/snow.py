@@ -216,10 +216,18 @@ def snow_step_two_layer(pack, tas: jnp.ndarray, pr: jnp.ndarray,
     w = jnp.where(ice > eps, w, 0.0)
 
     # 7. CLM-style capping: excess leaves as ice runoff, base first.
+    #    The cap bounds the TOTAL pack (ice + retained liquid), matching
+    #    the single-store scheme's invariant — a pack at the cap sheds
+    #    its liquid as outflow (r4: a 10-yr soak caught the retained
+    #    liquid riding hold_frac*cap above the cap).
     capped = jnp.maximum(ice - p.swe_cap, 0.0)
     rm_b = jnp.minimum(m_b, capped)
     m_b = m_b - rm_b
     m_s = m_s - (capped - rm_b)
+    liq_over = jnp.maximum(m_s + m_b + w - p.swe_cap, 0.0)
+    liq_over = jnp.minimum(liq_over, w)
+    outflow = outflow + liq_over
+    w = w - liq_over
 
     # 8. Recover layer temperatures from the surviving cold content.
     t_s = jnp.where(m_s > eps,

@@ -32,6 +32,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--years", type=int, default=20)
     ap.add_argument("--resolution", type=float, default=0.5)
+    ap.add_argument("--snow-scheme", default="degree-day",
+                    choices=("degree-day", "twolayer"))
+    ap.add_argument("--routing-scheme", default="linear",
+                    choices=("linear", "kinematic", "muskingum"))
     args = ap.parse_args()
 
     from hybrid9_tpu.config import Config
@@ -42,6 +46,8 @@ def main() -> int:
 
     cfg = Config(start_year=1901, end_year=1900 + args.years,
                  resolution_deg=args.resolution,
+                 snow_scheme=args.snow_scheme,
+                 routing_scheme=args.routing_scheme,
                  forcing="device-synthetic", write_annual=False)
     grid, params = load_soil(cfg)
     provider = DeviceSyntheticForcingProvider(
