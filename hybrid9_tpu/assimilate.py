@@ -173,8 +173,17 @@ def _enkf_cycle(state_m: ModelState, theta_m: jnp.ndarray,
     h = jnp.maximum(aug["h2osoi"], 1.0e-3).reshape(m * n, nl)
     wa = jnp.clip(aug["wa"], 0.0, 5000.0).reshape(m * n)
     theta_m = jnp.clip(aug["theta"], cfg.theta_min, cfg.theta_max)
+    # Recompute smp from the ANALYSED moisture (same Clapp-Hornberger
+    # form as initial_state / _conductivity_and_potential, O13 Eqn
+    # 7.94): smp is a cross-step carry the next substep's beta-stress
+    # reads (HYDROLOGY.f90:271), so leaving the prior value would mix
+    # posterior moisture with prior matric potential for one substep.
+    dz = jnp.asarray(geom.dz_soil, h.dtype)
+    s_node = jnp.clip((h / dz[None, :]) / p.theta_s, 0.01, 1.0)
+    smp = jnp.maximum(jnp.asarray(c.SMPMIN, h.dtype),
+                      p.psi_s * s_node ** (-p.bsw))
     state_m = state_m.replace(soil=state_m.soil.replace(
-        h2osoi_liq=h, wa=wa))
+        h2osoi_liq=h, wa=wa, smp=smp))
     return state_m, theta_m, y_pred
 
 

@@ -193,7 +193,8 @@ def cmd_site(args: argparse.Namespace) -> int:
     result = run_site(cfg, climate=climate, subdaily=subdaily,
                       lai_waypoints=lai_waypoints, grow=grow,
                       csv_out=args.csv_out, engine=args.engine,
-                      evap_obs_daily=obs_daily)
+                      evap_obs_daily=obs_daily,
+                      record_year_days=365 if args.noleap else None)
     worst = max(r["max_residual"] for r in result.daily)
     log.info("site run done (engine=%s): %d days, final LAI %.3f, "
              "max|residual| %.3g mm", args.engine, len(result.daily),
@@ -599,9 +600,14 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
     elapsed = time.perf_counter() - t0
     tm = np.asarray(res["theta_mean"])
     ts = np.asarray(res["theta_std"])
+    # Innovation statistics over OBSERVED land entries only: masked-out
+    # cells/days carry meaningless (possibly NaN) obs values that would
+    # bias — or NaN out — the mean (ADVICE r4).
     err = np.abs(np.asarray(res["y_pred_mean"]) - obs)[:, :grid.n_land]
-    early = float(np.mean(err[:max(1, ndays // 5)]))
-    late = float(np.mean(err[-max(1, ndays // 5):]))
+    err = np.where(mask[:, :grid.n_land], err, np.nan)
+    with np.errstate(invalid="ignore"):
+        early = float(np.nanmean(err[:max(1, ndays // 5)]))
+        late = float(np.nanmean(err[-max(1, ndays // 5):]))
     log.info("assimilate: %d members x %d cells x %d days in %.2fs "
              "(pallas=%s, incl. compile); posterior hksat log-mult "
              "mean %.4f (spread %.4f -> %.4f); ET innovation %.4g -> "
@@ -697,6 +703,10 @@ def main(argv=None) -> int:
     ps.add_argument("--csv-out", default="site_daily.csv")
     ps.add_argument("--spinup", type=int, default=0)
     ps.add_argument("--nisurf", type=int, default=48)
+    ps.add_argument("--noleap", action="store_true",
+                    help="the record uses a 365-day calendar (no leap "
+                         "days): roll the output (year, doy) labels by "
+                         "the record's own year length")
     ps.add_argument("--engine", choices=("oracle", "kernel"),
                     default="oracle",
                     help="float64 NumPy oracle or the production jitted "

@@ -205,7 +205,11 @@ class Checkpointer:
                 if not isinstance(node, dict) or name not in node:
                     return None
                 node = node[name]
-            return node
+            # A structural schema change (stored field was a subtree
+            # where the template has a leaf) must fall through to the
+            # template fill, not insert a dict as a pytree leaf
+            # (ADVICE r4).
+            return None if isinstance(node, dict) else node
 
         filled = []
         n_missing = 0

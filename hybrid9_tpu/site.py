@@ -261,7 +261,8 @@ def run_site(cfg: Config,
              grow: bool = True,
              csv_out: Optional[str] = None,
              engine: str = "oracle",
-             evap_obs_daily: Optional[Dict[int, float]] = None
+             evap_obs_daily: Optional[Dict[int, float]] = None,
+             record_year_days: Optional[int] = None
              ) -> SiteResult:
     """Run the single-column site simulation.
 
@@ -275,6 +276,14 @@ def run_site(cfg: Config,
     GROW call (the LCLIM mode with prescribed LAI,
     HYBRID9.f90:473-475).  ``engine`` picks the float64 NumPy oracle
     (``"oracle"``) or the production jitted kernels (``"kernel"``).
+
+    ``record_year_days`` declares the record's own year length for the
+    (year, doy) output labels: a multi-year record WITHOUT leap days
+    (e.g. a repeated 365-day climatology) should pass 365 so the labels
+    roll with the record instead of the real Gregorian calendar
+    (which would drift them one day per leap year crossed — ADVICE
+    r4).  Default ``None`` = real calendar: multi-year records are then
+    expected to include leap days matching ``cfg.start_year``.
     """
     grid = cfg.layer_grid()
     nl = grid.nsoil
@@ -313,7 +322,9 @@ def run_site(cfg: Config,
     for row in daily:
         row["year"], row["doy"] = year, doy
         doy += 1
-        if doy > _cal.days_in_year(year):
+        year_len = (record_year_days if record_year_days is not None
+                    else _cal.days_in_year(year))
+        if doy > year_len:
             year, doy = year + 1, 1
 
     if evap_obs_daily:
