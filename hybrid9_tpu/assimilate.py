@@ -42,6 +42,17 @@ Design (TPU-first, and the standard land-DA configuration):
   ride the packed cell axis through the production Pallas kernel, so a
   DA cycle costs one model day at ensemble width plus an elementwise
   update.
+- **The fold is cell-major** (folded index ``j = cell*m + member``), so
+  a contiguous block of the folded axis carries ALL members of a block
+  of cells.  Under the production 1-D cell sharding
+  (``parallel.sharding.CellSharding``) the folded axis then shards
+  cell-locally: each device holds whole ensembles for its cells, the
+  member-axis moments in the analysis reduce over an UNSHARDED axis,
+  and the entire DA cycle adds zero collectives to the forecast — the
+  same cell-independence the model itself scales by (INIT.f90:271-284,
+  SURVEY.md C14).  Pass ``sharding=`` to run the whole sequential
+  filter sharded (forecast through the shard_map'd Pallas kernel when
+  on TPU, analysis under GSPMD).
 """
 
 from __future__ import annotations
@@ -131,47 +142,58 @@ def enkf_update_scalar_obs(aug: Dict[str, jnp.ndarray],
 
 @functools.partial(jax.jit, static_argnames=(
     "geom", "dt", "m", "nisurf", "vegetation", "use_pallas",
-    "pallas_block", "zd09_every", "cfg"))
+    "pallas_block", "zd09_every", "cfg", "mesh", "pallas_interpret"))
 def _enkf_cycle(state_m: ModelState, theta_m: jnp.ndarray,
                 params_tiled: SoilParams, f_day: Forcing,
                 obs: jnp.ndarray, obs_mask: jnp.ndarray,
                 geom: Geometry, dt: float, m: int, nisurf: int,
                 vegetation: bool, use_pallas: bool, pallas_block: int,
-                zd09_every: int, cfg: EnKFConfig):
+                zd09_every: int, cfg: EnKFConfig, mesh=None,
+                pallas_interpret: bool = False):
     """Forecast one day at ensemble width, then analyse.
 
-    ``state_m``: folded ``[m*n]`` model state; ``theta_m``: ``[m, n]``
-    per-cell hksat log-multipliers; ``params_tiled``: base params tiled
-    to ``[m*n]`` (multipliers applied inside, so the analysed theta
-    takes effect on the next forecast); ``f_day``: ``[n]`` forcing
-    (shared across members).  Returns (state_m', theta_m', y_pred).
+    ``state_m``: cell-major folded ``[n*m]`` model state (``j = cell*m
+    + member``); ``theta_m``: ``[m, n]`` per-cell hksat
+    log-multipliers; ``params_tiled``: base params folded to ``[n*m]``
+    (multipliers applied inside, so the analysed theta takes effect on
+    the next forecast); ``f_day``: ``[n]`` forcing (shared across
+    members).  Returns (state_m', theta_m', y_pred).
+
+    All member-axis views below are reshape/transpose of the folded
+    axis: with the cell-major fold and a cell sharding on the folded
+    axis, the reshape splits the SHARDED outer factor (cells) from the
+    unsharded inner factor (members), so none of them moves data
+    between devices.
     """
     n = obs.shape[0]
 
-    def tile(x):
-        return jnp.concatenate([x] * m, axis=0)
+    def fold(x):
+        return jnp.repeat(x, m, axis=0)
 
     p = apply_multipliers(params_tiled,
-                          {"hksat": theta_m.reshape(m * n)})
-    f_m = jax.tree_util.tree_map(tile, f_day)
+                          {"hksat": theta_m.T.reshape(n * m)})
+    f_m = jax.tree_util.tree_map(fold, f_day)
     state_m, diags = day_step(state_m, f_m, p, geom, dt, nisurf,
                               vegetation=vegetation,
                               use_pallas=use_pallas,
                               pallas_block=pallas_block,
-                              zd09_every=zd09_every)
-    y_pred = diags["evap_day"].reshape(m, n)
+                              zd09_every=zd09_every, mesh=mesh,
+                              pallas_interpret=pallas_interpret)
+    y_pred = diags["evap_day"].reshape(n, m).T
 
     nl = state_m.soil.h2osoi_liq.shape[1]
     aug = dict(
-        h2osoi=state_m.soil.h2osoi_liq.reshape(m, n, nl),
-        wa=state_m.soil.wa.reshape(m, n),
+        h2osoi=state_m.soil.h2osoi_liq.reshape(n, m, nl)
+               .transpose(1, 0, 2),
+        wa=state_m.soil.wa.reshape(n, m).T,
         theta=theta_m,
     )
     aug = enkf_update_scalar_obs(aug, y_pred, obs, obs_mask, cfg)
 
     # Physical guards: non-negative stores, bounded multipliers.
-    h = jnp.maximum(aug["h2osoi"], 1.0e-3).reshape(m * n, nl)
-    wa = jnp.clip(aug["wa"], 0.0, 5000.0).reshape(m * n)
+    h = jnp.maximum(aug["h2osoi"], 1.0e-3).transpose(1, 0, 2) \
+        .reshape(n * m, nl)
+    wa = jnp.clip(aug["wa"], 0.0, 5000.0).T.reshape(n * m)
     theta_m = jnp.clip(aug["theta"], cfg.theta_min, cfg.theta_max)
     # Recompute smp from the ANALYSED moisture (same Clapp-Hornberger
     # form as initial_state / _conductivity_and_potential, O13 Eqn
@@ -195,7 +217,9 @@ def assimilate(params: SoilParams, state0: ModelState,
                theta_spread: float = 0.3, seed: int = 0,
                vegetation: bool = True, use_pallas: bool = False,
                pallas_block: int = 1024, zd09_every: int = 1,
-               cfg: EnKFConfig = EnKFConfig()) -> Dict[str, jnp.ndarray]:
+               cfg: EnKFConfig = EnKFConfig(),
+               sharding=None,
+               pallas_interpret: bool = False) -> Dict[str, jnp.ndarray]:
     """Sequential EnSRF over a daily-ET observation record.
 
     Args:
@@ -204,6 +228,11 @@ def assimilate(params: SoilParams, state0: ModelState,
       obs_mask: ``[days, n]`` validity (default: all valid).
       n_members: ensemble width m.
       theta_spread: initial std of the per-cell hksat log-multipliers.
+      sharding: optional ``parallel.sharding.CellSharding`` — runs the
+        whole sequential filter cell-sharded over the device mesh (the
+        cell-major fold makes every analysis quantity device-local; the
+        forecast dispatches through the shard_map'd Pallas kernel when
+        ``use_pallas``).
 
     Returns a dict with the posterior ``theta_mean``/``theta_std``
     ``[n]``, the final folded ensemble state, and the ``[days, n]``
@@ -218,13 +247,26 @@ def assimilate(params: SoilParams, state0: ModelState,
     theta_m = theta_spread * jax.random.normal(key, (m, n),
                                                state0.veg.lai.dtype)
 
-    def tile(x):
-        return jnp.concatenate([x] * m, axis=0)
+    def fold(x):
+        # Cell-major: j = cell*m + member (see the module docstring).
+        return jnp.repeat(x, m, axis=0)
 
-    params_tiled = jax.tree_util.tree_map(tile, params)
+    params_tiled = jax.tree_util.tree_map(fold, params)
     state_m = jax.tree_util.tree_map(
-        lambda x: tile(x) if (hasattr(x, "ndim") and x.ndim >= 1
+        lambda x: fold(x) if (hasattr(x, "ndim") and x.ndim >= 1
                               and x.shape[0] == n) else x, state0)
+
+    mesh = None
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = sharding.mesh
+        params_tiled = sharding.put(params_tiled)
+        state_m = sharding.put(state_m)
+        theta_m = jax.device_put(
+            theta_m, NamedSharding(mesh, P(None, sharding.axis)))
+        forcing_days = sharding.put_block(forcing_days)
+        obs_et = sharding.put_block(obs_et)
+        obs_mask = sharding.put_block(obs_mask)
 
     # The whole DA window is ONE lax.scan over days (the square-root
     # analysis is deterministic — no per-day PRNG — so forecast +
@@ -237,7 +279,8 @@ def assimilate(params: SoilParams, state0: ModelState,
         state_m, theta_m, y_pred = _enkf_cycle(
             state_m, theta_m, params_tiled, f_day, obs_d, mask_d,
             geom, c.SDAY / nisurf, m, nisurf, vegetation, use_pallas,
-            pallas_block, zd09_every, cfg)
+            pallas_block, zd09_every, cfg, mesh=mesh,
+            pallas_interpret=pallas_interpret)
         return (state_m, theta_m), jnp.mean(y_pred, axis=0)
 
     (state_m, theta_m), y_means = jax.lax.scan(

@@ -146,25 +146,44 @@ def calibrate(params: SoilParams,
               nisurf: int = c.NISURF_DEFAULT,
               steps: int = 50,
               learning_rate: float = 0.1,
-              obs_mask: Optional[jnp.ndarray] = None) -> CalibrationResult:
+              obs_mask: Optional[jnp.ndarray] = None,
+              sharding=None) -> CalibrationResult:
     """Fit soil-parameter multipliers to observed daily ET with Adam.
 
     One jit of the value-and-grad; the optimiser loop runs as a
     ``lax.scan`` so the whole calibration is a single compiled program
     (no per-step dispatch overhead on TPU).
+
+    ``sharding``: optional ``parallel.sharding.CellSharding`` — inputs
+    (and per-cell multipliers) are placed cell-sharded and GSPMD runs
+    the whole fit over the mesh: the forward/adjoint model is
+    cell-local, per-cell theta gradients stay on their shards, and a
+    scalar theta's gradient is the one ``psum`` of the loss reduction.
     """
     import optax
 
     theta0 = spec.init_theta(params.n_cells, params.hksat.dtype)
+    if sharding is not None:
+        params = sharding.put(params)
+        state0 = sharding.put(state0)
+        forcing_days = sharding.put_block(forcing_days)
+        obs_et = sharding.put_block(obs_et)
+        if obs_mask is not None:
+            obs_mask = sharding.put_block(obs_mask)
+        theta0 = {k: jax.device_put(v, sharding.spec_for(v))
+                  for k, v in theta0.items()}
     opt = optax.adam(learning_rate)
 
-    def value_and_grad(theta):
-        return jax.value_and_grad(et_loss)(
-            theta, params, state0, forcing_days, geom, obs_et,
-            nisurf, obs_mask)
-
+    # Data arrays are jit ARGUMENTS, not closures: multi-host-sharded
+    # jax.Arrays span non-addressable devices and cannot be baked into
+    # the program as constants.
     @jax.jit
-    def run(theta):
+    def run(theta, params, state0, forcing_days, obs_et, obs_mask):
+        def value_and_grad(theta):
+            return jax.value_and_grad(et_loss)(
+                theta, params, state0, forcing_days, geom, obs_et,
+                nisurf, obs_mask)
+
         def step(carry, _):
             theta, opt_state = carry
             loss, g = value_and_grad(theta)       # loss BEFORE the update
@@ -177,7 +196,8 @@ def calibrate(params: SoilParams,
         final, _ = value_and_grad(theta)
         return theta, jnp.concatenate([losses, final[None]])
 
-    theta, history = run(theta0)
+    theta, history = run(theta0, params, state0, forcing_days, obs_et,
+                         obs_mask)
     return CalibrationResult(theta=theta,
                              params=apply_multipliers(params, theta),
                              loss_history=history)

@@ -204,17 +204,17 @@ def cmd_site(args: argparse.Namespace) -> int:
 
 def _single_host_provider(cfg, grid):
     """The forcing provider a single-process auxiliary run uses
-    (calibrate/ensemble/assimilate: no multi-host assembly, no prefetch
-    thread).  These drivers are single-process by design; under a
-    multi-process launch they would silently duplicate global work per
-    host, so they refuse instead (VERDICT r3 weak item 7)."""
+    (ensemble, and calibrate/assimilate without --shard: no multi-host
+    assembly, no prefetch thread).  Without a sharding these drivers
+    refuse multi-process launches — every process would silently redo
+    the same global problem (VERDICT r3 weak item 7)."""
     import jax
     if jax.process_count() > 1:
         raise SystemExit(
             "calibrate/ensemble/assimilate are single-process drivers "
-            "(every process would redo the same global problem); run "
-            "them on one host, or use `run --shard` for the "
-            "multi-host production path")
+            "without --shard (every process would redo the same global "
+            "problem); pass --shard (calibrate/assimilate) or run them "
+            "on one host")
     if cfg.forcing == "pgf" and cfg.forcing_path:
         from .data.forcing import NetCDFForcingProvider
         return NetCDFForcingProvider(cfg.forcing_path, grid)
@@ -229,6 +229,57 @@ def _stacked_forcing(cfg, grid, n_days: int):
     return provider(cfg.start_year, 1, n_days)
 
 
+def _sharded_stacked_forcing(cfg, grid, n_days: int, shard: bool):
+    """(sharding, [days, n] Forcing) for a closed-loop driver.
+
+    ``shard=False``: single-process host arrays (the legacy path).
+    ``shard=True``: a ``CellSharding`` over all devices; under a
+    multi-process launch each process hyperslabs only its own cell
+    slab — the same per-host narrowed ingest as ``run --shard``
+    (READ_NET_CDF_3DR.f90:95-97) — and the global block is assembled
+    sharded, so no host materialises the global forcing.
+    """
+    import jax
+
+    from .parallel.sharding import CellSharding
+
+    if not shard:
+        return None, _stacked_forcing(cfg, grid, n_days)
+    sharding = CellSharding.create()
+    sharding.check_divisible(grid.n_padded)
+    multihost = jax.process_count() > 1
+    host_range = None
+    if multihost:
+        from .parallel.launch import host_shard_bounds
+        host_range = host_shard_bounds(grid.n_padded)
+    if cfg.forcing == "pgf" and cfg.forcing_path:
+        from .data.forcing import NetCDFForcingProvider
+        local = NetCDFForcingProvider(cfg.forcing_path, grid,
+                                      cell_range=host_range)
+    else:
+        from .data.forcing import SyntheticForcingProvider
+        local = SyntheticForcingProvider(
+            grid.n_padded, seed=0, lat=grid.cell_lat,
+            cell_slice=slice(*host_range) if host_range else None)
+    if multihost:
+        from .data.forcing import HostShardedProvider
+        local = HostShardedProvider(local, sharding, grid.n_padded)
+    return sharding, local(cfg.start_year, 1, n_days)
+
+
+def _gather_host(x):
+    """Full host copy of a (possibly multi-host-sharded) array: the
+    inverse of the per-host slabs, for diagnostics-sized outputs only
+    (posterior multipliers, innovation series)."""
+    import jax
+    import numpy as np
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(
+            x, tiled=True))
+    return np.asarray(x)
+
+
 def cmd_calibrate_global(args: argparse.Namespace) -> int:
     """Calibrate on the REAL configured model (--config): load_soil
     parameters, the production grid, optionally per-cell multipliers —
@@ -237,7 +288,12 @@ def cmd_calibrate_global(args: argparse.Namespace) -> int:
     Observations: ``--obs-npz`` (arrays ``et`` [days, n_land], optional
     ``mask``) or ``--obs-twin LOGMULT`` (twin experiment: observations
     generated by the model itself under a known hksat log-multiplier,
-    fit from zero — the standard identifiability check)."""
+    fit from zero — the standard identifiability check).
+
+    ``--shard`` runs the whole fit cell-sharded over the device mesh
+    (per-cell multipliers and their adjoint stay on their shards);
+    multi-process launches read per-host forcing slabs like ``run
+    --shard``."""
     import json
 
     import jax
@@ -253,6 +309,8 @@ def cmd_calibrate_global(args: argparse.Namespace) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from .parallel.launch import initialize_distributed
+    initialize_distributed()   # before any backend use (multi-process)
     cfg = Config.from_json(open(args.config).read())
     grid, params = load_soil(cfg)
     lg = cfg.layer_grid()
@@ -263,7 +321,8 @@ def cmd_calibrate_global(args: argparse.Namespace) -> int:
                     dz_soil=tuple(map(float, lg.dz[:nl])),
                     zc_soil=tuple(map(float, lg.zc[:nl])))
     ndays = args.days
-    forcing = _stacked_forcing(cfg, grid, ndays)
+    sharding, forcing = _sharded_stacked_forcing(cfg, grid, ndays,
+                                                 args.shard)
     n = grid.n_padded
     fields = tuple(args.fields.split(","))
     spec = CalibrationSpec(fields=fields, per_cell=args.per_cell)
@@ -281,12 +340,17 @@ def cmd_calibrate_global(args: argparse.Namespace) -> int:
             obs[:, :grid.n_land] = et
             if "mask" in d:
                 mask[:, :grid.n_land] &= np.asarray(d["mask"], bool)
+        obs = jnp.asarray(obs, dtype)
     elif args.obs_twin is not None:
         true_theta = {f: jnp.full((n,) if args.per_cell else (),
                                   float(args.obs_twin), dtype)
                       for f in fields}
-        obs = np.asarray(simulate_daily_et(
-            true_theta, params, state0, forcing, geom, cfg.nisurf))
+        p_obs = sharding.put(params) if sharding is not None else params
+        s_obs = sharding.put(state0) if sharding is not None else state0
+        if sharding is not None and args.per_cell:
+            true_theta = sharding.put(true_theta)
+        obs = simulate_daily_et(
+            true_theta, p_obs, s_obs, forcing, geom, cfg.nisurf)
         log.info("twin experiment: obs generated at log-multiplier "
                  "%.3f on %s", args.obs_twin, ",".join(fields))
     else:
@@ -294,22 +358,24 @@ def cmd_calibrate_global(args: argparse.Namespace) -> int:
                          "--obs-twin")
 
     res = calibrate(params, state0, forcing, geom,
-                    jnp.asarray(obs, dtype), spec=spec,
+                    jnp.asarray(obs, dtype) if not isinstance(
+                        obs, jax.Array) else obs, spec=spec,
                     nisurf=cfg.nisurf, steps=args.steps,
                     learning_rate=args.lr,
-                    obs_mask=jnp.asarray(mask))
+                    obs_mask=jnp.asarray(mask),
+                    sharding=sharding)
     hist = np.asarray(res.loss_history)
     log.info("global calibrate: %d cells (%d land), %d days, "
-             "per_cell=%s, loss %.4g -> %.4g (%d steps)", n,
-             grid.n_land, ndays, args.per_cell, hist[0], hist[-1],
-             args.steps)
-    theta_np = {k: np.asarray(v) for k, v in res.theta.items()}
+             "per_cell=%s, sharded=%s, loss %.4g -> %.4g (%d steps)",
+             n, grid.n_land, ndays, args.per_cell, sharding is not None,
+             hist[0], hist[-1], args.steps)
+    theta_np = {k: _gather_host(v) for k, v in res.theta.items()}
     if args.obs_twin is not None:
         for k, v in theta_np.items():
             land = v[:grid.n_land] if v.ndim else v
             log.info("  %s: fitted log-mult mean %.4f (true %.4f)",
                      k, float(np.mean(land)), args.obs_twin)
-    if args.out:
+    if args.out and jax.process_index() == 0:
         if args.per_cell:
             np.savez(args.out,
                      **{k: np.exp(v) for k, v in theta_np.items()},
@@ -522,7 +588,12 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
     Observations: ``--obs-npz`` (arrays ``et`` [days, n_land], optional
     ``mask``) or ``--obs-twin LOGMULT`` (twin experiment: observations
     generated by the model under a known hksat log-multiplier; the
-    posterior should recover it where ET carries information)."""
+    posterior should recover it where ET carries information).
+
+    ``--shard`` runs the whole sequential filter cell-sharded over the
+    device mesh (assimilate.py's cell-major fold); under a multi-process
+    launch each process reads only its own forcing slab and obs columns
+    — the DA scales exactly like ``run --shard``."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -536,6 +607,8 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from .parallel.launch import initialize_distributed
+    initialize_distributed()   # before any backend use (multi-process)
     cfg = Config.from_json(open(args.config).read())
     grid, params = load_soil(cfg)
     lg = cfg.layer_grid()
@@ -547,13 +620,16 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
                     dz_soil=tuple(map(float, lg.dz[:nl])),
                     zc_soil=tuple(map(float, lg.zc[:nl])))
     ndays = args.days
-    forcing = _stacked_forcing(cfg, grid, ndays)
+    sharding, forcing = _sharded_stacked_forcing(cfg, grid, ndays,
+                                                 args.shard)
     forcing = jax.tree_util.tree_map(lambda x: x.astype(dtype), forcing)
     n = grid.n_padded
 
     mask = np.zeros((ndays, n), bool)
     mask[:, :grid.n_land] = True       # padding lanes carry no obs
     if args.obs_npz:
+        # Each process loads the (shared-filesystem) record and keeps
+        # only its own cell columns when sharded (put_block slices).
         with np.load(args.obs_npz) as d:
             et = np.asarray(d["et"], np.float64)
             if et.shape != (ndays, grid.n_land):
@@ -564,12 +640,17 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
             obs[:, :grid.n_land] = et
             if "mask" in d:
                 mask[:, :grid.n_land] &= np.asarray(d["mask"], bool)
+        obs = jnp.asarray(obs, dtype)
     elif args.obs_twin is not None:
         true_theta = {"hksat": jnp.full((), float(args.obs_twin),
                                         dtype)}
-        obs = np.asarray(simulate_daily_et(
-            true_theta, params, state0, forcing, geom, cfg.nisurf,
-            vegetation=cfg.vegetation))
+        # Sharded: generate the twin record with the sharded model so
+        # the [days, n] observations stay distributed end-to-end.
+        p_obs = sharding.put(params) if sharding is not None else params
+        s_obs = sharding.put(state0) if sharding is not None else state0
+        obs = simulate_daily_et(
+            true_theta, p_obs, s_obs, forcing, geom, cfg.nisurf,
+            vegetation=cfg.vegetation)
         log.info("twin experiment: obs generated at hksat "
                  "log-multiplier %.3f", args.obs_twin)
     else:
@@ -577,15 +658,17 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
 
     # Members fold into the cell axis (assimilate.py), so the Pallas
     # day kernel runs the ensemble forecast at production speed on TPU
-    # (same auto rule as `ensemble`).
+    # (same auto rule as `ensemble`); sharded, the divisibility rule is
+    # per device.
     n_total = args.members * n
+    per_device = (n_total // sharding.n_devices if sharding is not None
+                  else n_total)
     use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
                   else (jax.default_backend() == "tpu"
-                        and n_total % cfg.pallas_block == 0))
+                        and per_device % cfg.pallas_block == 0))
     import time
     t0 = time.perf_counter()
-    res = assimilate(params, state0, forcing,
-                     jnp.asarray(obs, dtype), geom,
+    res = assimilate(params, state0, forcing, obs, geom,
                      n_members=args.members, nisurf=cfg.nisurf,
                      obs_mask=jnp.asarray(mask),
                      theta_spread=args.spread, seed=args.seed,
@@ -594,34 +677,37 @@ def cmd_assimilate(args: argparse.Namespace) -> int:
                      pallas_block=cfg.pallas_block,
                      zd09_every=cfg.zd09_every,
                      cfg=EnKFConfig(obs_err_std=args.obs_err,
-                                    rtps=args.rtps))
+                                    rtps=args.rtps),
+                     sharding=sharding)
     res = {k: (jax.block_until_ready(v) if hasattr(v, "block_until_ready")
                else v) for k, v in res.items()}
     elapsed = time.perf_counter() - t0
-    tm = np.asarray(res["theta_mean"])
-    ts = np.asarray(res["theta_std"])
+    tm = _gather_host(res["theta_mean"])
+    ts = _gather_host(res["theta_std"])
+    y_pred = _gather_host(res["y_pred_mean"])
+    obs_h = _gather_host(obs)
     # Innovation statistics over OBSERVED land entries only: masked-out
     # cells/days carry meaningless (possibly NaN) obs values that would
     # bias — or NaN out — the mean (ADVICE r4).
-    err = np.abs(np.asarray(res["y_pred_mean"]) - obs)[:, :grid.n_land]
+    err = np.abs(y_pred - obs_h)[:, :grid.n_land]
     err = np.where(mask[:, :grid.n_land], err, np.nan)
     with np.errstate(invalid="ignore"):
         early = float(np.nanmean(err[:max(1, ndays // 5)]))
         late = float(np.nanmean(err[-max(1, ndays // 5):]))
     log.info("assimilate: %d members x %d cells x %d days in %.2fs "
-             "(pallas=%s, incl. compile); posterior hksat log-mult "
-             "mean %.4f (spread %.4f -> %.4f); ET innovation %.4g -> "
-             "%.4g mm/day", args.members, n, ndays, elapsed,
-             use_pallas, float(np.mean(tm[:grid.n_land])), args.spread,
+             "(pallas=%s, sharded=%s, incl. compile); posterior hksat "
+             "log-mult mean %.4f (spread %.4f -> %.4f); ET innovation "
+             "%.4g -> %.4g mm/day", args.members, n, ndays, elapsed,
+             use_pallas, sharding is not None,
+             float(np.mean(tm[:grid.n_land])), args.spread,
              float(np.median(ts[:grid.n_land])), early, late)
     if args.obs_twin is not None:
         log.info("  true log-multiplier: %.4f", args.obs_twin)
-    if args.out:
+    if args.out and jax.process_index() == 0:
         np.savez(args.out, theta_mean=tm[:grid.n_land],
                  theta_std=ts[:grid.n_land],
                  hksat_multiplier=np.exp(tm[:grid.n_land]),
-                 y_pred_mean=np.asarray(
-                     res["y_pred_mean"])[:, :grid.n_land],
+                 y_pred_mean=y_pred[:, :grid.n_land],
                  n_land=grid.n_land)
         log.info("wrote %s", args.out)
     return 0
@@ -725,6 +811,10 @@ def main(argv=None) -> int:
                     help="(global mode) one multiplier per cell "
                          "(spatial inversion) instead of one scalar "
                          "per field")
+    pc.add_argument("--shard", action="store_true",
+                    help="(global mode) run the fit cell-sharded over "
+                         "all devices; required for multi-process "
+                         "launches (per-host forcing slabs)")
     pc.add_argument("--days", type=int, default=60,
                     help="(global mode) days of forcing in the fit "
                          "window")
@@ -796,6 +886,11 @@ def main(argv=None) -> int:
                     help="observation error std (mm/day)")
     pa.add_argument("--rtps", type=float, default=0.6,
                     help="relaxation-to-prior-spread coefficient")
+    pa.add_argument("--shard", action="store_true",
+                    help="run the sequential filter cell-sharded over "
+                         "all devices (forecast through the sharded "
+                         "Pallas kernel on TPU); required for "
+                         "multi-process launches")
     pa.add_argument("--seed", type=int, default=0)
     pa.add_argument("--out", default=None,
                     help="write posterior npz (theta_mean/theta_std/"

@@ -88,6 +88,35 @@ class CellSharding:
 
         return jax.tree_util.tree_map(one, pytree)
 
+    def put_block(self, pytree):
+        """Device-put ``[days, n, ...]`` blocks (cells = axis 1).
+
+        The block-axis counterpart of :meth:`put`, for stacked forcing /
+        observation records consumed by the auxiliary drivers
+        (assimilate/calibrate).  Multi-host: each process contributes
+        its own cell-slab columns (``x[:, lo:hi]``), mirroring the
+        per-host forcing reads; already-sharded global arrays (e.g.
+        from ``HostShardedProvider``) pass through untouched.
+        """
+        if jax.process_count() == 1:
+            return jax.tree_util.tree_map(
+                lambda x: (x if (isinstance(x, jax.Array)
+                                 and x.sharding == self.block_spec(x))
+                           else jax.device_put(x, self.block_spec(x))),
+                pytree)
+        from .launch import host_shard_bounds
+
+        def one(x):
+            spec = self.block_spec(x)
+            if isinstance(x, jax.Array) and x.sharding == spec:
+                return x
+            x = np.asarray(x)
+            lo, hi = host_shard_bounds(x.shape[1])
+            return jax.make_array_from_process_local_data(
+                spec, x[:, lo:hi], x.shape)
+
+        return jax.tree_util.tree_map(one, pytree)
+
     def host_local(self, arr) -> np.ndarray:
         """This process's contiguous slab of a cell-sharded global array.
 

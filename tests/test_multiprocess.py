@@ -380,3 +380,98 @@ def test_two_process_resume_across_schema_change(tmp_path):
         np.testing.assert_array_equal(
             np.nan_to_num(res[name]), np.nan_to_num(full[name]),
             err_msg=f"schema-migrated resume differs in {name}")
+
+
+def _launch_aux(subcmd, cfg_path, env_extra, extra_args,
+                devices_per_proc=2):
+    """Launch an auxiliary-driver CLI subcommand (assimilate/calibrate)
+    the same way _launch runs `run`."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                        f"{devices_per_proc}")
+    env.update(env_extra)
+    return subprocess.Popen(
+        [sys.executable, "-m", "hybrid9_tpu", subcmd, "--config",
+         cfg_path, "--platform", "cpu", *extra_args],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+
+def test_two_process_assimilate_matches_single(tmp_path):
+    """Sharded multi-host DA (VERDICT r4 item 1): a twin-experiment
+    `assimilate --shard` across two real processes — per-host forcing
+    slabs, cell-sharded forecast + analysis, allgathered posterior —
+    equals the single-process unsharded run."""
+    cfg = dict(CFG)
+    cfg.pop("checkpoint_every_years", None)
+    p = str(tmp_path / "cfg.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    da_args = ["--obs-twin", "0.5", "--days", "8", "--members", "4",
+               "--spread", "0.3", "--seed", "2"]
+
+    out_single = str(tmp_path / "single.npz")
+    r = _launch_aux("assimilate", p, {}, da_args + ["--out", out_single],
+                    devices_per_proc=1)
+    out, _ = r.communicate(timeout=900)
+    assert r.returncode == 0, f"single-process DA failed:\n{out[-4000:]}"
+
+    out_multi = str(tmp_path / "multi.npz")
+    port = _free_port()
+    procs = [_launch_aux("assimilate", p, {
+        "JAX_NUM_PROCESSES": "2",
+        "JAX_PROCESS_ID": str(pid),
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+    }, da_args + ["--shard", "--out", out_multi]) for pid in range(2)]
+    outs = [r.communicate(timeout=900)[0] for r in procs]
+    for i, r in enumerate(procs):
+        assert r.returncode == 0, \
+            f"DA process {i} failed:\n{outs[i][-4000:]}"
+
+    with np.load(out_single) as s, np.load(out_multi) as m:
+        assert int(s["n_land"]) == int(m["n_land"])
+        np.testing.assert_allclose(m["theta_mean"], s["theta_mean"],
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(m["y_pred_mean"], s["y_pred_mean"],
+                                   rtol=2e-4, atol=2e-4)
+        # The analysis pulled the multipliers toward the truth (a short
+        # 8-day window moves them only part-way; the full recovery is
+        # pinned by tests/test_assimilate.py).
+        assert float(np.mean(m["theta_mean"])) > 0.0
+
+
+def test_two_process_calibrate_matches_single(tmp_path):
+    """Sharded multi-host per-cell calibration (VERDICT r4 item 1,
+    calibrate leg): `calibrate --config --per-cell --shard` across two
+    processes equals the single-process fit."""
+    cfg = dict(CFG)
+    cfg.pop("checkpoint_every_years", None)
+    p = str(tmp_path / "cfg.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    cal_args = ["--per-cell", "--obs-twin", "0.4", "--fields", "hksat",
+                "--days", "6", "--steps", "4", "--lr", "0.2"]
+
+    out_single = str(tmp_path / "single.npz")
+    r = _launch_aux("calibrate", p, {}, cal_args + ["--out", out_single],
+                    devices_per_proc=1)
+    out, _ = r.communicate(timeout=900)
+    assert r.returncode == 0, \
+        f"single-process calibrate failed:\n{out[-4000:]}"
+
+    out_multi = str(tmp_path / "multi.npz")
+    port = _free_port()
+    procs = [_launch_aux("calibrate", p, {
+        "JAX_NUM_PROCESSES": "2",
+        "JAX_PROCESS_ID": str(pid),
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+    }, cal_args + ["--shard", "--out", out_multi]) for pid in range(2)]
+    outs = [r.communicate(timeout=900)[0] for r in procs]
+    for i, r in enumerate(procs):
+        assert r.returncode == 0, \
+            f"calibrate process {i} failed:\n{outs[i][-4000:]}"
+
+    with np.load(out_single) as s, np.load(out_multi) as m:
+        np.testing.assert_allclose(m["hksat"], s["hksat"],
+                                   rtol=5e-3, atol=5e-4)

@@ -159,3 +159,126 @@ def test_simulation_block_step_pallas_sharded(layer_grid):
                                rtol=5e-4, atol=5e-3)
     np.testing.assert_allclose(means["evap"][:nl], means2["evap"][:nl],
                                rtol=5e-3, atol=1e-6)
+
+
+def _da_setup(layer_grid, n, ndays, nisurf, seed=3):
+    """Params, state, geom, stacked [days, n] forcing + twin obs."""
+    from hybrid9_tpu.calibrate import simulate_daily_et
+    params, state0, geom, _ = _setup(n, layer_grid=layer_grid)
+    fields = ("tas", "rlds", "rsds", "huss", "ps", "pr", "rhs")
+    days = [synthetic_forcing_day(n, d + 1, seed=seed)
+            for d in range(ndays)]
+    forcing = Forcing(**{k: jnp.stack([jnp.asarray(d[k], jnp.float32)
+                                       for d in days]) for k in fields})
+    true_theta = {"hksat": jnp.full((), 0.7, jnp.float32)}
+    obs = simulate_daily_et(true_theta, params, state0, forcing, geom,
+                            nisurf)
+    return params, state0, geom, forcing, obs
+
+
+def test_assimilate_sharded_matches_unsharded(layer_grid):
+    """The sequential EnSRF under the 8-device cell sharding equals the
+    single-device run: the cell-major fold makes every analysis
+    quantity device-local (VERDICT r4 item 1)."""
+    from hybrid9_tpu.assimilate import assimilate
+
+    n, ndays, nisurf = 8 * 16, 6, 4
+    params, state0, geom, forcing, obs = _da_setup(layer_grid, n,
+                                                   ndays, nisurf)
+    kw = dict(n_members=6, nisurf=nisurf, seed=1, theta_spread=0.3)
+    r0 = assimilate(params, state0, forcing, obs, geom, **kw)
+    cs = CellSharding.create()
+    r1 = assimilate(params, state0, forcing, obs, geom, **kw,
+                    sharding=cs)
+    # Posterior stays sharded on the mesh (no implicit gather).
+    assert r1["theta_mean"].sharding.spec == jax.sharding.PartitionSpec(
+        "cells")
+    np.testing.assert_allclose(np.asarray(r1["theta_mean"]),
+                               np.asarray(r0["theta_mean"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r1["y_pred_mean"]),
+                               np.asarray(r0["y_pred_mean"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_assimilate_sharded_pallas_path(layer_grid):
+    """Sharded DA with use_pallas dispatches the forecast through the
+    shard_map'd Pallas day kernel (interpret mode on CPU) and agrees
+    with the sharded XLA path to kernel parity tolerance."""
+    from hybrid9_tpu.assimilate import assimilate
+
+    n, ndays, nisurf = 8 * 16, 3, 4
+    params, state0, geom, forcing, obs = _da_setup(layer_grid, n,
+                                                   ndays, nisurf)
+    cs = CellSharding.create()
+    kw = dict(n_members=4, nisurf=nisurf, seed=1, sharding=cs)
+    r_xla = assimilate(params, state0, forcing, obs, geom, **kw)
+    r_pal = assimilate(params, state0, forcing, obs, geom, **kw,
+                       use_pallas=True, pallas_block=16,
+                       pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(r_pal["theta_mean"]),
+                               np.asarray(r_xla["theta_mean"]),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_assimilate_sharded_cycle_no_collectives(layer_grid):
+    """Compiled-HLO audit: the full sharded forecast+analysis cycle
+    contains ZERO cross-device communication — the DA inherits the
+    model's cell-local scaling (assimilate.py module docstring)."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hybrid9_tpu.assimilate import EnKFConfig, _enkf_cycle
+    from hybrid9_tpu.physics import constants as c
+
+    COLL = re.compile(
+        r"all-reduce|all-gather|all-to-all|collective-permute|"
+        r"reduce-scatter|collective-broadcast")
+    n, m = 8 * 16, 4
+    params, state0, geom, forcing = _setup(n, layer_grid=layer_grid)
+    cs = CellSharding.create()
+
+    def fold(x):
+        return jnp.repeat(x, m, axis=0)
+
+    params_t = cs.put(jax.tree_util.tree_map(fold, params))
+    state_m = cs.put(jax.tree_util.tree_map(
+        lambda x: fold(x) if (hasattr(x, "ndim") and x.ndim >= 1
+                              and x.shape[0] == n) else x, state0))
+    theta = jax.device_put(jnp.zeros((m, n), jnp.float32),
+                           NamedSharding(cs.mesh, P(None, "cells")))
+    f = cs.put(forcing)
+    obs = cs.put(jnp.ones((n,), jnp.float32))
+    mask = cs.put(jnp.ones((n,), bool))
+    lowered = _enkf_cycle.lower(
+        state_m, theta, params_t, f, obs, mask, geom, c.SDAY / 4, m, 4,
+        True, False, 1024, 1, EnKFConfig())
+    hits = sorted(set(COLL.findall(lowered.compile().as_text())))
+    assert not hits, (
+        f"sharded DA cycle contains collectives {hits}: the cell-major "
+        "fold should keep forecast AND analysis device-local")
+
+
+def test_calibrate_sharded_matches_unsharded(layer_grid):
+    """Per-cell adjoint calibration under the mesh equals the
+    single-device fit (VERDICT r4 item 1, calibrate leg)."""
+    from hybrid9_tpu.calibrate import CalibrationSpec, calibrate
+
+    n, ndays, nisurf = 8 * 16, 5, 4
+    params, state0, geom, forcing, obs = _da_setup(layer_grid, n,
+                                                   ndays, nisurf)
+    spec = CalibrationSpec(fields=("hksat",), per_cell=True)
+    kw = dict(spec=spec, nisurf=nisurf, steps=4, learning_rate=0.2)
+    c0 = calibrate(params, state0, forcing, geom, obs, **kw)
+    cs = CellSharding.create()
+    c1 = calibrate(params, state0, forcing, geom, obs, **kw,
+                   sharding=cs)
+    assert c1.theta["hksat"].sharding.spec == \
+        jax.sharding.PartitionSpec("cells")
+    np.testing.assert_allclose(np.asarray(c1.theta["hksat"]),
+                               np.asarray(c0.theta["hksat"]),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c1.loss_history),
+                               np.asarray(c0.loss_history),
+                               rtol=2e-4, atol=1e-6)
