@@ -202,3 +202,48 @@ def test_refresh_interval_drift_bounded_60_days():
     np.testing.assert_allclose(np.asarray(lazy60.soil.zwt),
                                np.asarray(exact60.soil.zwt),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_flagship_scope_drift_bounded_one_year():
+    """VERDICT r4 item 2 (regression leg): the k=8 approximation under
+    the SHIPPED production defaults — snow + albedo + soil ice/thermal
+    + carbon + routing, which all interact with the water table — stays
+    finite and climatologically small over a full year (beyond the
+    60-day reference-scope window above).  The 10-year climatological
+    bound lives in scripts/zd09_drift.py --scope flagship."""
+    from hybrid9_tpu.config import Config
+    from hybrid9_tpu.data.forcing import SyntheticForcingProvider
+    from hybrid9_tpu.data.soil import load_soil
+    from hybrid9_tpu.run import Simulation
+
+    means = {}
+    states = {}
+    for k in (1, 8):
+        cfg = Config(resolution_deg=12.0, start_year=1901,
+                     end_year=1901, nisurf=8, cell_block=32,
+                     zd09_every=k, write_annual=False,
+                     forcing_block_days=366)
+        grid, params = load_soil(cfg)
+        provider = SyntheticForcingProvider(grid.n_padded, seed=0,
+                                            lat=grid.cell_lat)
+        sim = Simulation(cfg, params, land_grid=grid)
+        m = sim.run_year(1901, provider)
+        nl = grid.n_land
+        means[k] = {f: np.asarray(m[f])[:nl]
+                    for f in ("evap", "rnf", "swe", "soil_ice",
+                              "c_soil", "nee", "discharge")}
+        states[k] = np.asarray(sim.state.soil.zwt)[:nl]
+        assert float(np.max(np.asarray(m["max_abs_residual"])[:nl])) \
+            < 0.1
+
+    for f, m1 in means[1].items():
+        m8 = means[8][f]
+        assert np.all(np.isfinite(m8)), f"{f} non-finite under k=8"
+        # Yardstick: the field's own spatial variability (one year has
+        # no interannual std); inert fields (all-zero) must stay zero.
+        scale = max(float(np.std(m1)), 1.0e-9)
+        drift = float(np.mean(np.abs(m8 - m1)))
+        assert drift < 0.05 * scale + 1.0e-6, \
+            f"{f}: mean|k8-k1| {drift:.3e} vs spatial std {scale:.3e}"
+    np.testing.assert_allclose(states[8], states[1], rtol=5e-3,
+                               atol=5e-3)
