@@ -91,7 +91,7 @@ def _bench_flagship(n_warmup: int = 3, n_iters: int = 50) -> dict:
         "unit": "grid-cell-days/s/chip",
         "n_cells": n_cells,
         "config": "production defaults (snow+albedo+ice+thermal+carbon"
-                  "+routing, zd09=8)",
+                  "+kinematic routing, zd09=8)",
         "pallas": bool(sim.use_pallas),
         "vs_baseline": round(n_cells * n_iters / elapsed
                              / BASELINE_CELLS_PER_S_PER_CORE, 2),

@@ -414,6 +414,8 @@ def cmd_ensemble(args: argparse.Namespace) -> int:
         jax.config.update("jax_compilation_cache_dir", args.cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
+    from .parallel.launch import initialize_distributed
+    initialize_distributed()   # before any backend use (multi-process)
     cfg = Config.from_json(open(args.config).read())
     grid, params = load_soil(cfg)
     lg = cfg.layer_grid()
@@ -425,7 +427,8 @@ def cmd_ensemble(args: argparse.Namespace) -> int:
                     zc_soil=tuple(map(float, lg.zc[:nl])))
     import hybrid9_tpu.calendar as calendar
     ndays = args.days or calendar.days_in_year(cfg.start_year)
-    forcing = _stacked_forcing(cfg, grid, ndays)
+    sharding, forcing = _sharded_stacked_forcing(cfg, grid, ndays,
+                                                 args.shard)
     fields = tuple(args.fields.split(","))
     theta = perturbed_multipliers(jax.random.PRNGKey(args.seed),
                                   args.members, fields=fields,
@@ -433,39 +436,46 @@ def cmd_ensemble(args: argparse.Namespace) -> int:
     theta = {k: v.astype(dtype) for k, v in theta.items()}
 
     # Member axis folds into the cell axis (ensemble.py), so the Pallas
-    # day kernel runs ensembles at production speed when on TPU.
+    # day kernel runs ensembles at production speed when on TPU;
+    # sharded, the divisibility rule is per device.
     n_total = args.members * grid.n_padded
+    per_device = (n_total // sharding.n_devices if sharding is not None
+                  else n_total)
     use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
                   else (jax.default_backend() == "tpu"
-                        and n_total % cfg.pallas_block == 0))
+                        and per_device % cfg.pallas_block == 0))
     t0 = time.perf_counter()
     out = run_ensemble_annual(theta, params, state0, forcing, geom,
                               nisurf=cfg.nisurf,
                               vegetation=cfg.vegetation,
                               use_pallas=use_pallas,
                               pallas_block=cfg.pallas_block,
-                              zd09_every=cfg.zd09_every)
-    # Close the timed region with a D2H read (PERFORMANCE.md rule).
-    out = {k: np.asarray(v) for k, v in out.items()}
+                              zd09_every=cfg.zd09_every,
+                              sharding=sharding)
+    # Close the timed region with a D2H read (PERFORMANCE.md rule);
+    # multi-host, the gather also replicates the [m, n] diagnostics.
+    out = {k: _gather_host(v) for k, v in out.items()}
     elapsed = time.perf_counter() - t0
     log.info("ensemble: %d members x %d cells x %d days in %.2fs "
              "(member axis folded into the cell axis, pallas=%s, "
-             "incl. compile)", args.members, grid.n_padded, ndays,
-             elapsed, use_pallas)
+             "sharded=%s, incl. compile)", args.members, grid.n_padded,
+             ndays, elapsed, use_pallas, sharding is not None)
 
-    fields_nc = {}
-    for name, stacked in out.items():
-        mean = np.mean(stacked, axis=0)
-        std = np.std(stacked, axis=0)
-        fields_nc[f"{name}_mean"] = grid.scatter(
-            mean.astype(np.float64))
-        fields_nc[f"{name}_std"] = grid.scatter(std.astype(np.float64))
-        fields_nc[f"{name}_control"] = grid.scatter(
-            stacked[0].astype(np.float64))   # member 0 = unperturbed
-    path = args.out or "ensemble.nc"
-    netcdf.write_grid_file(path, fields_nc, grid.lon, grid.lat)
-    log.info("wrote %s (%d members, sigma=%.2f on %s)", path,
-             args.members, args.sigma, ",".join(fields))
+    if jax.process_index() == 0:
+        fields_nc = {}
+        for name, stacked in out.items():
+            mean = np.mean(stacked, axis=0)
+            std = np.std(stacked, axis=0)
+            fields_nc[f"{name}_mean"] = grid.scatter(
+                mean.astype(np.float64))
+            fields_nc[f"{name}_std"] = grid.scatter(
+                std.astype(np.float64))
+            fields_nc[f"{name}_control"] = grid.scatter(
+                stacked[0].astype(np.float64))  # member 0 = control
+        path = args.out or "ensemble.nc"
+        netcdf.write_grid_file(path, fields_nc, grid.lon, grid.lat)
+        log.info("wrote %s (%d members, sigma=%.2f on %s)", path,
+                 args.members, args.sigma, ",".join(fields))
     return 0
 
 
@@ -855,6 +865,10 @@ def main(argv=None) -> int:
     pe.add_argument("--days", type=int, default=None,
                     help="days to integrate (default: the full start "
                          "year)")
+    pe.add_argument("--shard", action="store_true",
+                    help="run the folded ensemble cell-sharded over "
+                         "all devices; required for multi-process "
+                         "launches")
     pe.add_argument("--out", default=None,
                     help="spread-diagnostics NetCDF (default "
                          "ensemble.nc)")

@@ -164,10 +164,18 @@ class Config:
     # --- Lateral flow (new capabilities) ----------------------------------
     lateral_routing: bool = True      # Route runoff through the D8 net
                                       # (physics/routing.py).
-    routing_scheme: str = "linear"    # "linear" (daily reservoir),
-                                      # "kinematic" (sub-daily wave) or
+    routing_scheme: str = "kinematic"  # "kinematic" (sub-daily wave at
+                                      # physical celerity — the default
+                                      # since r5; a linear reservoir
+                                      # moves water <= 1 cell/day, wrong
+                                      # continental travel times at
+                                      # 0.5 deg), "linear" (daily
+                                      # reservoir, cheapest) or
                                       # "muskingum" (Muskingum-Cunge,
-                                      # per-reach geometry).
+                                      # per-reach geometry + wave
+                                      # attenuation).  Measured flagship
+                                      # cost: DEVIATIONS.md "routing
+                                      # default".
     routing_k: float = 0.2            # Linear-reservoir release per day.
     routing_form: str = "packed"      # "packed": segment-sum over the
                                       # packed cell axis (1-D sharding).

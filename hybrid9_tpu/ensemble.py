@@ -109,7 +109,8 @@ def run_ensemble_annual(theta: Dict[str, jnp.ndarray],
                         vegetation: bool = True,
                         use_pallas: bool = False,
                         pallas_block: int = 1024,
-                        zd09_every: int = 1
+                        zd09_every: int = 1,
+                        sharding=None
                         ) -> Dict[str, jnp.ndarray]:
     """Ensemble with annual totals only: memory O(members x cells).
 
@@ -118,13 +119,17 @@ def run_ensemble_annual(theta: Dict[str, jnp.ndarray],
     stacking ``[members, days, n]`` dailies (GBs of HBM at 0.5 deg) —
     the annual-accumulator pattern of the production driver.  Second,
     the member axis is FOLDED INTO THE CELL AXIS rather than vmapped:
-    an ensemble is literally "more cells" ``[members * n]`` with
-    per-member-tiled parameters, so the VMEM-resident Pallas day kernel
-    (``use_pallas``) runs ensembles at full production speed — the
-    member dimension is indistinguishable from batch.  Forcing is
-    tiled per day inside the scan body (a broadcast in-compute, never
-    materialised for the year), so HBM holds one [days, n] forcing
-    block regardless of ensemble size.
+    an ensemble is literally "more cells" with per-member parameters,
+    so the VMEM-resident Pallas day kernel (``use_pallas``) runs
+    ensembles at full production speed — the member dimension is
+    indistinguishable from batch.  The fold is CELL-MAJOR (folded index
+    ``j = cell*m + member``, like assimilate.py), so under the
+    production 1-D cell sharding each device holds whole ensembles for
+    its cells and the folded run shards collective-free; pass
+    ``sharding=`` to run on the mesh.  Forcing is tiled per day inside
+    the scan body (a broadcast in-compute, never materialised for the
+    year), so HBM holds one [days, n] forcing block regardless of
+    ensemble size.
 
     Returns ``{"evap", "runoff", "npp"}`` as ``[members, n]`` annual
     totals (mm/yr and g DM/yr).
@@ -133,30 +138,40 @@ def run_ensemble_annual(theta: Dict[str, jnp.ndarray],
     m = len(next(iter(theta.values())))
     n = state0.veg.lai.shape[0]
 
-    def tile(x):
-        return jnp.concatenate([x] * m, axis=0)
+    def fold(x):
+        return jnp.repeat(x, m, axis=0)
 
     params_m = apply_multipliers(
-        jax.tree_util.tree_map(tile, params),
-        {f: jnp.repeat(v, n) for f, v in theta.items()})
+        jax.tree_util.tree_map(fold, params),
+        # Cell-major: folded index j = cell*m + member -> theta[j % m].
+        {f: jnp.tile(v, n) for f, v in theta.items()})
     state_m = jax.tree_util.tree_map(
-        lambda x: tile(x) if (hasattr(x, "ndim") and x.ndim >= 1
+        lambda x: fold(x) if (hasattr(x, "ndim") and x.ndim >= 1
                               and x.shape[0] == n) else x, state0)
+
+    mesh = None
+    if sharding is not None:
+        mesh = sharding.mesh
+        params_m = sharding.put(params_m)
+        state_m = sharding.put(state_m)
+        forcing_days = sharding.put_block(forcing_days)
 
     ev, rn, np_ = _run_annual_folded(
         state_m, forcing_days, params_m, geom, dt, m, nisurf,
-        vegetation, use_pallas, pallas_block, zd09_every)
-    shape = (m, n)
-    return dict(evap=ev.reshape(shape), runoff=rn.reshape(shape),
-                npp=np_.reshape(shape))
+        vegetation, use_pallas, pallas_block, zd09_every, mesh)
+    # [n*m] -> [n, m] splits the (sharded) outer cell factor from the
+    # unsharded member factor; the transpose to the [m, n] contract is
+    # layout-only.
+    return dict(evap=ev.reshape(n, m).T, runoff=rn.reshape(n, m).T,
+                npp=np_.reshape(n, m).T)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "geom", "dt", "m", "nisurf", "vegetation", "use_pallas",
-    "pallas_block", "zd09_every"))
+    "pallas_block", "zd09_every", "mesh"))
 def _run_annual_folded(state_m, forcing_days, params_m, geom, dt, m,
                        nisurf, vegetation, use_pallas, pallas_block,
-                       zd09_every):
+                       zd09_every, mesh=None):
     """Module-level jit of the folded annual ensemble scan (a fresh
     inner ``@jax.jit`` per call would retrace/recompile every
     invocation — this caches on the static configuration instead)."""
@@ -165,12 +180,12 @@ def _run_annual_folded(state_m, forcing_days, params_m, geom, dt, m,
     def body(carry, f_day):
         state, ev, rn, np_ = carry
         f_m = jax.tree_util.tree_map(
-            lambda x: jnp.concatenate([x] * m, axis=0), f_day)
+            lambda x: jnp.repeat(x, m, axis=0), f_day)
         state, diags = day_step(state, f_m, params_m, geom, dt,
                                 nisurf, vegetation=vegetation,
                                 use_pallas=use_pallas,
                                 pallas_block=pallas_block,
-                                zd09_every=zd09_every)
+                                zd09_every=zd09_every, mesh=mesh)
         return (state, ev + diags["evap_day"],
                 rn + diags["rnf_day"], np_ + diags["npp"]), None
 

@@ -12,7 +12,9 @@ downstream.  Three schemes, in increasing fidelity:
    order-free — a single segment-sum over the downstream-index map
    (grids/routing.py), no topological sort.  Simple, but water moves at
    most one cell per day, so continental travel times are wrong at high
-   resolution.
+   resolution — which is why the kinematic wave is the production
+   default since r5 (Config.routing_scheme; measured cost in
+   DEVIATIONS.md "routing default").
 
 2. **Sub-daily kinematic wave** (``route_kinematic_day``): ``n_substeps``
    transfer steps per day with a storage-dependent wave celerity
@@ -73,12 +75,17 @@ def route_daily(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
     outlet-draining cells are nonzero).
     """
     n = store.shape[0]
-    out = routing.k * store
+    # A store in reclaim deficit (negative, see route_kinematic_day's
+    # contract) releases nothing.
+    out = routing.k * jnp.maximum(store, 0.0)
     # Inflow from upstream neighbours; index n is the ocean outlet bucket.
     inflow_all = jax.ops.segment_sum(out, routing.downstream,
                                      num_segments=n + 1)
     inflow = inflow_all[:n]
-    new_store = store + local_runoff_mm + inflow - out
+    # (store - out) first: out = k*store <= store in f32, so every
+    # partial sum is a rounding of a non-negative real and the store
+    # cannot round one ulp below zero (r5 fix, see route_kinematic_day).
+    new_store = (store - out) + local_runoff_mm + inflow
     to_ocean = routing.downstream >= n
     discharge = jnp.where(to_ocean, out, 0.0)
     return new_store, discharge
@@ -130,6 +137,13 @@ def route_kinematic_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
 
     Returns ``(new_store, discharge)``; ``discharge`` is the ``[n]``
     water delivered to the ocean outlet by each cell over the day (mm).
+
+    ``local_runoff_mm`` may be slightly NEGATIVE on drainage-fixup days
+    (the reference takes unmet soil deficits back out of drainage,
+    HYDROLOGY.f90:1204-1211); the router conserves that by debiting the
+    store, which may therefore carry a transient micro-negative balance
+    (observed < 3e-3 mm) until runoff returns.  All routers here share
+    that contract.
     """
     n = store.shape[0]
     dt_r = 86400.0 / p.n_substeps
@@ -139,10 +153,15 @@ def route_kinematic_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
     def substep(carry, _):
         s, dis = carry
         out = _celerity_fraction(s, p.flow_length, dt_r, p.c0, p.s_ref,
-                                 p.beta, p.c_min, p.c_max) * s
+                                 p.beta, p.c_min, p.c_max) \
+            * jnp.maximum(s, 0.0)
         inflow = jax.ops.segment_sum(out, p.downstream,
                                      num_segments=n + 1)[:n]
-        s = s + local_sub + inflow - out
+        # (s - out) first: out <= s in f32, so every partial sum is a
+        # rounding of a non-negative real — the store cannot round one
+        # ulp below zero the way s + local + inflow - out can when the
+        # true result is ~0 (r5 fix; the invariant soaks check >= 0).
+        s = (s - out) + local_sub + inflow
         dis = dis + jnp.where(to_ocean, out, 0.0)
         return (s, dis), None
 
@@ -230,10 +249,12 @@ def route_muskingum_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
                   + local_sub) / dt_r                        # mm/s
         # Pass 2: Muskingum storage relation, conservative clip.
         o_rate = (s / k_t - x_w * i_rate) / (1.0 - x_w)      # mm/s
-        out = jnp.clip(o_rate * dt_r, 0.0, s)
+        out = jnp.clip(o_rate * dt_r, 0.0, jnp.maximum(s, 0.0))
         inflow = jax.ops.segment_sum(out, p.downstream,
                                      num_segments=n + 1)[:n]
-        s = s + local_sub + inflow - out
+        # (s - out) first keeps the store non-negative in f32 (see
+        # route_kinematic_day).
+        s = (s - out) + local_sub + inflow
         dis = dis + jnp.where(to_ocean, out, 0.0)
         return (s, dis), None
 
@@ -358,14 +379,16 @@ def route_kinematic_day_grid(store: jnp.ndarray, local_mm: jnp.ndarray,
         s, dis = carry
         frac = _celerity_fraction(s, p.flow_length, dt_r, p.c0, p.s_ref,
                                   p.beta, p.c_min, p.c_max)
-        out = jnp.where(land, frac * s, 0.0)
+        out = jnp.where(land, frac * jnp.maximum(s, 0.0), 0.0)
         inflow = jnp.zeros_like(s)
         for k, (dy, dx) in enumerate(_D8):
             # Cells with code k send `out` to the (dy, dx) neighbour:
             # shift their outflow by (+dy, +dx).
             contrib = jnp.where(p.dir_code == k, out, 0.0)
             inflow = inflow + jnp.roll(jnp.roll(contrib, dy, 0), dx, 1)
-        s = s + local_sub + jnp.where(land, inflow, 0.0) - out
+        # (s - out) first keeps the store non-negative in f32 (see
+        # route_kinematic_day).
+        s = (s - out) + local_sub + jnp.where(land, inflow, 0.0)
         dis = dis + jnp.where(p.dir_code == 8, out, 0.0)
         return (s, dis), None
 

@@ -114,15 +114,31 @@ def main() -> int:
                     help="comma-separated zd09_every values to run")
     ap.add_argument("--scope", default="reference",
                     choices=("reference", "flagship"))
+    ap.add_argument("--save-raw", default=None,
+                    help="npz path for the raw [years, n_land] per-field"
+                         " records of both arms (metric forensics)")
+    ap.add_argument("--from-raw", default=None,
+                    help="re-analyse a --save-raw npz instead of "
+                         "re-running the paired integration")
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the XLA path (isolate kernel effects)")
     args = ap.parse_args()
     ks = tuple(int(v) for v in args.ks.split(","))
 
-    out, fields = run_paired(args.years, args.resolution, args.nisurf,
-                             ks=ks,
-                             use_pallas=False if args.no_pallas else None,
-                             scope=args.scope)
+    if args.from_raw:
+        with np.load(args.from_raw) as d:
+            fields = sorted({k.split("_", 1)[1] for k in d.files})
+            out = {k: {f: d[f"k{k}_{f}"] for f in fields} for k in ks}
+    else:
+        out, fields = run_paired(
+            args.years, args.resolution, args.nisurf, ks=ks,
+            use_pallas=False if args.no_pallas else None,
+            scope=args.scope)
+    if args.save_raw and not args.from_raw:
+        np.savez_compressed(args.save_raw,
+                            **{f"k{k}_{f}": out[k][f]
+                               for k in ks for f in fields})
+        print(f"raw records -> {args.save_raw}")
     for k in ks:
         for f in ("evap", "zwt"):
             bad = int(np.sum(~np.isfinite(out[k][f])))
@@ -130,48 +146,63 @@ def main() -> int:
                 print(f"k={k} {f}: {bad} NON-FINITE entries")
     if len(ks) < 2:
         return 0
-    # Acceptance (adopted round 4): drift under natural variability —
-    # domain-mean |drift| < 5 % of the field's own per-cell interannual
-    # std, p99 < 10 %, and no late-half accumulation signature (< 2x).
-    BOUND_MEAN, BOUND_P99 = 0.05, 0.10
+    # Acceptance (metric v2, r5): drift must vanish under natural
+    # variability.  Per field, sigma = pooled interannual std (RMS of
+    # the per-cell stds from the exact run).  Cells whose own std is
+    # >= 5 % of sigma are "varying": their per-cell drift/std ratios
+    # must satisfy mean < 5 %, p99 < 10 % (the r4 bound).  The rest are
+    # "quasi-static" (a static water table under ice, tropical swe=0,
+    # ...): a per-cell ratio there is 0/0 noise — instead their drift
+    # is bounded ABSOLUTELY, p99 < 1 % of sigma.  A field inert in both
+    # arms (sigma == 0) passes iff its drift is exactly zero.
+    BOUND_MEAN, BOUND_P99, BOUND_STATIC = 0.05, 0.10, 0.01
     report = {}
     all_pass = True
     for f in fields:
         a1, a8 = out[ks[0]][f], out[ks[1]][f]      # [years, n_land]
         diff = np.abs(a8 - a1)
-        # Per-cell interannual std of the exact run (the natural
-        # variability yardstick); floor avoids 0/0 in dead cells.
+        md = np.mean(diff, axis=0)                 # per-cell mean drift
         std = np.std(a1, axis=0, ddof=1)
-        scale = np.maximum(std, 1.0e-12)
-        ratio = np.mean(diff, axis=0) / scale      # per cell
-        # Cells where the field never varies AND never drifts (e.g.
-        # swe in the tropics) carry no information: drop exact-zero
-        # drift cells from the ratio statistics so a huge inert
-        # population cannot dilute them.
-        active = (np.mean(diff, axis=0) > 0.0) | (std > 0.0)
-        ratio_act = ratio[active] if active.any() else ratio
+        sigma = float(np.sqrt(np.mean(std ** 2)))  # pooled variability
         per_year = np.mean(diff, axis=1)           # domain-mean |drift|
-        # Trend: is late-half drift larger than early-half?
-        half = args.years // 2
+        half = max(1, len(per_year) // 2)
         trend = float(np.mean(per_year[half:])
                       / max(np.mean(per_year[:half]), 1.0e-30))
-        mean_ratio = float(np.mean(ratio_act))
-        p99_ratio = float(np.percentile(ratio_act, 99))
-        ok = mean_ratio < BOUND_MEAN and p99_ratio < BOUND_P99
+        if sigma == 0.0:
+            ok = float(np.max(diff)) == 0.0
+            mean_ratio = p99_ratio = 0.0
+            n_var = 0
+            static_p99 = float(np.percentile(md, 99)) if md.size else 0.0
+        else:
+            varying = std >= 0.05 * sigma
+            n_var = int(varying.sum())
+            if n_var:
+                r = md[varying] / std[varying]
+                mean_ratio = float(np.mean(r))
+                p99_ratio = float(np.percentile(r, 99))
+            else:
+                mean_ratio = p99_ratio = 0.0
+            static_p99 = (float(np.percentile(md[~varying], 99))
+                          if (~varying).any() else 0.0)
+            ok = (mean_ratio < BOUND_MEAN and p99_ratio < BOUND_P99
+                  and static_p99 < BOUND_STATIC * sigma)
         all_pass &= ok
         report[f] = dict(
             mean_abs_drift=float(np.mean(diff)),
             max_abs_drift=float(np.max(diff)),
+            pooled_interannual_std=sigma,
+            n_varying_cells=n_var,
             mean_ratio_to_interannual_std=mean_ratio,
             p99_ratio_to_interannual_std=p99_ratio,
+            static_cells_p99_drift=static_p99,
             late_vs_early_drift_ratio=trend,
-            n_active_cells=int(active.sum()),
             passes_bound=ok,
         )
         print(f"{f:12s}: mean|d|={report[f]['mean_abs_drift']:.3e} "
               f"max|d|={report[f]['max_abs_drift']:.3e} "
-              f"mean ratio={mean_ratio:.3f} "
-              f"p99 ratio={p99_ratio:.3f} "
+              f"sigma={sigma:.3e} "
+              f"ratio mean={mean_ratio:.4f} p99={p99_ratio:.4f} "
+              f"static p99|d|={static_p99:.3e} "
               f"late/early={trend:.2f} "
               f"{'PASS' if ok else 'FAIL'}")
     # The JSON keeps one entry per scope so both audits coexist.
@@ -183,8 +214,9 @@ def main() -> int:
     except (OSError, ValueError):
         doc = {}
     doc[args.scope] = dict(years=args.years, resolution=args.resolution,
-                           nisurf=args.nisurf,
-                           bound=dict(mean=BOUND_MEAN, p99=BOUND_P99),
+                           nisurf=args.nisurf, metric="v2",
+                           bound=dict(mean=BOUND_MEAN, p99=BOUND_P99,
+                                      static_p99_of_sigma=BOUND_STATIC),
                            all_pass=all_pass, fields=report)
     with open(args.out, "w") as fjson:
         json.dump(doc, fjson, indent=2)

@@ -282,3 +282,25 @@ def test_calibrate_sharded_matches_unsharded(layer_grid):
     np.testing.assert_allclose(np.asarray(c1.loss_history),
                                np.asarray(c0.loss_history),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_ensemble_sharded_matches_unsharded(layer_grid):
+    """The folded annual ensemble under the mesh equals the
+    single-device run (cell-major fold, like assimilate)."""
+    from hybrid9_tpu.ensemble import (perturbed_multipliers,
+                                      run_ensemble_annual)
+
+    n, ndays, nisurf = 8 * 16, 5, 4
+    params, state0, geom, forcing, _ = _da_setup(layer_grid, n, ndays,
+                                                 nisurf)
+    theta = perturbed_multipliers(jax.random.PRNGKey(0), 4,
+                                  fields=("hksat",), sigma=0.3)
+    theta = {k: v.astype(jnp.float32) for k, v in theta.items()}
+    r0 = run_ensemble_annual(theta, params, state0, forcing, geom,
+                             nisurf=nisurf)
+    cs = CellSharding.create()
+    r1 = run_ensemble_annual(theta, params, state0, forcing, geom,
+                             nisurf=nisurf, sharding=cs)
+    for k in ("evap", "runoff", "npp"):
+        np.testing.assert_allclose(np.asarray(r1[k]), np.asarray(r0[k]),
+                                   rtol=2e-4, atol=2e-4)
