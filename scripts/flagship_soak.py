@@ -34,8 +34,9 @@ def main() -> int:
     ap.add_argument("--resolution", type=float, default=0.5)
     ap.add_argument("--snow-scheme", default="degree-day",
                     choices=("degree-day", "twolayer"))
-    ap.add_argument("--routing-scheme", default="linear",
-                    choices=("linear", "kinematic", "muskingum"))
+    ap.add_argument("--routing-scheme", default="kinematic",
+                    choices=("linear", "kinematic", "muskingum"),
+                    help="default follows Config (kinematic since r5)")
     args = ap.parse_args()
 
     from hybrid9_tpu.config import Config
