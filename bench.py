@@ -47,7 +47,8 @@ def _bench_flagship(n_warmup: int = 3, n_iters: int = 50) -> dict:
 
     ``Config()`` defaults: degree-day snowpack + snow-albedo feedback +
     prognostic soil ice/temperature + frozen-soil impedance + carbon
-    cascade + linear-reservoir lateral routing + zd09_every=8, on the
+    cascade + kinematic-wave lateral routing (dense roll form,
+    routing_form="auto") + zd09_every=8, on the
     real 0.5-degree land grid (load_soil; n_padded cells), assembled by
     ``run.Simulation.step_kwargs()`` — exactly the physics a default
     `run` dispatches per day (the reference day loop this mirrors:

@@ -177,13 +177,17 @@ class Config:
                                       # cost: DEVIATIONS.md "routing
                                       # default".
     routing_k: float = 0.2            # Linear-reservoir release per day.
-    routing_form: str = "packed"      # "packed": segment-sum over the
+    routing_form: str = "auto"        # "auto" (default): "grid" for the
+                                      # kinematic scheme, else "packed".
+                                      # "packed": segment-sum over the
                                       # packed cell axis (1-D sharding).
                                       # "grid": dense [ny, nx] halo-
                                       # exchange form — per-direction
                                       # rolls lower to collective-permute
                                       # halos under a sharded mesh
-                                      # (kinematic scheme only).
+                                      # (kinematic scheme only; 2.7x
+                                      # faster than the packed scatter on
+                                      # one chip, PERFORMANCE.md r5).
     routing_network_path: Optional[str] = None  # NetCDF with 'flowdir'
                                       # (ESRI D8) and/or 'elevation' (m)
                                       # at model resolution; None =
