@@ -269,6 +269,20 @@ _D8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
        (1, 1))
 
 
+def _d8_inflow(out, masks):
+    """Dense D8 inflow stencil: cells with direction code k send ``out``
+    to the (dy, dx) neighbour, i.e. shift their (mask-selected) outflow
+    by (+dy, +dx).  ``masks[k]`` are the loop-invariant f32 direction
+    weights (hoisted by the callers; see route_kinematic_day_grid).
+    Under a sharded [ny, nx] layout each roll lowers to a
+    collective-permute halo exchange."""
+    inflow = jnp.zeros_like(out)
+    for k, (dy, dx) in enumerate(_D8):
+        inflow = inflow + jnp.roll(jnp.roll(masks[k] * out, dy, 0),
+                                   dx, 1)
+    return inflow
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GridKinematicParams:
@@ -299,15 +313,101 @@ class GridKinematicParams:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class GridMuskingumParams:
+    """Dense-grid (halo-exchange) form of the Muskingum-Cunge router.
+
+    The per-reach geometry fields of :class:`MuskingumParams` scattered
+    onto the [ny, nx] grid (ocean/fill cells carry harmless defaults —
+    they are masked out of every flux by the direction codes).  Same
+    hydraulics as :func:`route_muskingum_day`; the two per-substep
+    inflow passes ride the roll stencil instead of segment-sums, so the
+    premium router runs at the dense form's speed on one chip and its
+    halos are collective-permutes under a sharded mesh.
+    """
+
+    dir_code: jnp.ndarray             # [ny, nx] int32 (0..7, 8=ocean,
+                                      # -1 = not land)
+    flow_length: jnp.ndarray          # [ny, nx] D8 hop length (m)
+    slope: jnp.ndarray                # [ny, nx] channel slope (-)
+    width: jnp.ndarray                # [ny, nx] bankfull width (m)
+    cell_area: jnp.ndarray            # [ny, nx] cell area (m^2)
+    n_substeps: int = dataclasses.field(default=8,
+                                        metadata=dict(static=True))
+    n_manning: float = dataclasses.field(default=0.035,
+                                         metadata=dict(static=True))
+    c_min: float = dataclasses.field(default=0.05,
+                                     metadata=dict(static=True))
+    c_max: float = dataclasses.field(default=5.0,
+                                     metadata=dict(static=True))
+
+
+def route_muskingum_day_grid(store: jnp.ndarray, local_mm: jnp.ndarray,
+                             p: GridMuskingumParams
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense [ny, nx] Muskingum-Cunge day step via roll halo exchanges.
+
+    Semantically identical to :func:`route_muskingum_day` on the same
+    network (same per-reach hydraulics, Cunge weighting and conservative
+    clip; equivalence pinned in tests/test_routing.py).  Masks are
+    hoisted out of the scan as f32 weights for the same reason as the
+    kinematic form.
+    """
+    land = p.dir_code >= 0
+    dt_r = 86400.0 / p.n_substeps
+    local_sub = jnp.where(land, local_mm / p.n_substeps, 0.0)
+    masks = [(p.dir_code == k).astype(store.dtype) for k in range(8)]
+    landf = land.astype(store.dtype)
+    oceanf = (p.dir_code == 8).astype(store.dtype)
+    # Same zero-slope guard as the packed form.
+    slope = jnp.maximum(p.slope, 1.0e-6)
+    sqrt_s0 = jnp.sqrt(slope)
+    # Fill-cell guards: ocean/padding positions never contribute (masked
+    # by landf/masks), but their hydraulic intermediates must stay
+    # finite for the masked algebra to hold.
+    length = jnp.maximum(p.flow_length, 1.0)
+    width = jnp.maximum(p.width, 1.0e-2)
+    area = jnp.maximum(p.cell_area, 1.0)
+
+    def substep(carry, _):
+        s, dis = carry
+        vol = jnp.maximum(s, 0.0) * 1.0e-3 * area            # mm -> m^3
+        h = jnp.maximum(vol / (width * length), 1.0e-4)      # m
+        v = jnp.power(h, 2.0 / 3.0) * sqrt_s0 / p.n_manning  # m/s
+        cel = jnp.clip(5.0 / 3.0 * v, p.c_min, p.c_max)
+        k_t = length / cel                                   # s
+        x_w = jnp.clip(0.5 * (1.0 - (v * h) / (slope * cel * length)),
+                       0.0, 0.5)
+        # Pass 1: kinematic outflow estimate -> same-substep inflow.
+        out_kin = landf * jnp.minimum(1.0, dt_r / k_t) * s
+        i_rate = (_d8_inflow(out_kin, masks) + local_sub) / dt_r
+        # Pass 2: Muskingum storage relation, conservative clip.
+        o_rate = (s / k_t - x_w * i_rate) / (1.0 - x_w)      # mm/s
+        out = landf * jnp.clip(o_rate * dt_r, 0.0, jnp.maximum(s, 0.0))
+        inflow = _d8_inflow(out, masks)
+        # (s - out) first keeps the store non-negative in f32 (see
+        # route_kinematic_day).
+        s = (s - out) + local_sub + landf * inflow
+        dis = dis + oceanf * out
+        return (s, dis), None
+
+    (store, discharge), _ = jax.lax.scan(
+        substep, (store, jnp.zeros_like(store)), None,
+        length=p.n_substeps)
+    return store, discharge
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GridRouting:
     """Production (packed-axis) wrapper around the dense halo router.
 
-    Selected by ``Config.routing_form = "grid"``: the day's packed
-    ``[n]`` runoff is scattered onto the dense ``[ny, nx]`` grid, routed
-    by :func:`route_kinematic_day_grid` (whose per-direction rolls lower
-    to collective-permute halo exchanges under a 2-D or row sharding),
-    and the updated store/discharge are gathered back to the packed
-    axis.  The scatter/gather pair is the one resharding per day between
+    Selected by ``Config.routing_form = "grid"`` (or the "auto"
+    default): the day's packed ``[n]`` runoff is scattered onto the
+    dense ``[ny, nx]`` grid, routed by :func:`route_kinematic_day_grid`
+    or :func:`route_muskingum_day_grid` (by the type of ``params``;
+    their per-direction rolls lower to collective-permute halo
+    exchanges under a 2-D or row sharding), and the updated
+    store/discharge are gathered back to the packed axis.  The scatter/gather pair is the one resharding per day between
     the 1-D cell sharding and the dense grid layout.
 
     ``flat_idx[n]``: flattened ``ny*nx`` grid index of each packed lane;
@@ -317,7 +417,7 @@ class GridRouting:
     instead of GSPMD replicating the grid.
     """
 
-    params: GridKinematicParams
+    params: object                    # GridKinematicParams | GridMuskingumParams
     flat_idx: jnp.ndarray             # [n] int32 flattened grid index
     n_land: int = dataclasses.field(default=0,
                                     metadata=dict(static=True))
@@ -352,7 +452,10 @@ def route_grid_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
                                                    r.dense_sharding)
         dense_l = jax.lax.with_sharding_constraint(dense_l,
                                                    r.dense_sharding)
-    s2, dis = route_kinematic_day_grid(dense_s, dense_l, r.params)
+    route_dense = (route_muskingum_day_grid
+                   if isinstance(r.params, GridMuskingumParams)
+                   else route_kinematic_day_grid)
+    s2, dis = route_dense(dense_s, dense_l, r.params)
     # Gather-back likewise shares indices: one [nyx, 2] lookup.
     flat = jnp.stack([s2.reshape(-1), dis.reshape(-1)],
                      axis=-1)[r.flat_idx]
@@ -391,12 +494,7 @@ def route_kinematic_day_grid(store: jnp.ndarray, local_mm: jnp.ndarray,
         frac = _celerity_fraction(s, p.flow_length, dt_r, p.c0, p.s_ref,
                                   p.beta, p.c_min, p.c_max)
         out = landf * frac * jnp.maximum(s, 0.0)
-        inflow = jnp.zeros_like(s)
-        for k, (dy, dx) in enumerate(_D8):
-            # Cells with code k send `out` to the (dy, dx) neighbour:
-            # shift their outflow by (+dy, +dx).
-            inflow = inflow + jnp.roll(jnp.roll(masks[k] * out, dy, 0),
-                                       dx, 1)
+        inflow = _d8_inflow(out, masks)
         # (s - out) first keeps the store non-negative in f32 (see
         # route_kinematic_day).
         s = (s - out) + local_sub + landf * inflow

@@ -76,19 +76,21 @@ class Simulation:
                 "cell_block/pallas_block or disable use_pallas")
         self.routing = None
         # "auto" resolves to the fastest correct form for the scheme: the
-        # dense roll/halo form for the kinematic wave (2.7x faster than
-        # the packed segment-sum scatter on a TPU chip, and its halos are
-        # collective-permutes under a sharded mesh), the packed
-        # segment-sum otherwise (linear/muskingum have no dense form).
+        # dense roll/halo form for the kinematic wave and Muskingum-Cunge
+        # (the sub-daily schemes; 2.7x faster than the packed segment-sum
+        # scatter on a TPU chip, and its halos are collective-permutes
+        # under a sharded mesh), the packed segment-sum for the daily
+        # linear reservoir (one scatter per day costs nothing to move).
         routing_form = cfg.routing_form
         if routing_form == "auto":
-            routing_form = ("grid" if cfg.routing_scheme == "kinematic"
-                            else "packed")
-        if routing_form == "grid" and cfg.routing_scheme != "kinematic":
+            routing_form = ("grid" if cfg.routing_scheme
+                            in ("kinematic", "muskingum") else "packed")
+        if routing_form == "grid" and cfg.routing_scheme not in (
+                "kinematic", "muskingum"):
             raise ValueError(
                 "routing_form='grid' is the dense halo-exchange form of "
-                "the kinematic router; set routing_scheme='kinematic' "
-                f"(got {cfg.routing_scheme!r})")
+                "the sub-daily routers; set routing_scheme='kinematic' "
+                f"or 'muskingum' (got {cfg.routing_scheme!r})")
         if cfg.lateral_routing and land_grid is not None:
             from .grids.routing import (bankfull_width_m, cell_area_m2,
                                         flow_accumulation, flow_length_m,
@@ -106,6 +108,65 @@ class Simulation:
                 return arr
 
             downstream = _put(down_np, jnp.int32)
+
+            _put_dense = dense_sh = None
+            if routing_form == "grid":
+                # Dense halo-exchange machinery shared by both sub-daily
+                # schemes (VERDICT r2 item 4): the per-direction rolls
+                # lower to collective-permute halos; equivalence with
+                # the packed segment-sum forms is pinned by
+                # tests/test_routing.py.
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from .grids.routing import direction_codes
+                from .physics.routing import GridRouting
+                codes = direction_codes(land_grid, down_np)
+                length_g = land_grid.scatter(
+                    flow_length_m(land_grid, down_np), fill=1.0)
+                if sharding is not None:
+                    # Shard the dense grid over the 1-D cell mesh
+                    # along whichever spatial axis the device count
+                    # divides (lat rows preferred): the rolls across
+                    # that axis cross shard boundaries as
+                    # collective-permute halo exchanges.
+                    nd = sharding.n_devices
+                    if land_grid.ny % nd == 0:
+                        dense_sh = NamedSharding(
+                            sharding.mesh, P(sharding.axis, None))
+                    elif land_grid.nx % nd == 0:
+                        dense_sh = NamedSharding(
+                            sharding.mesh, P(None, sharding.axis))
+                    else:
+                        log.warning(
+                            "grid routing: neither ny=%d nor nx=%d "
+                            "divisible by %d devices; dense router "
+                            "runs replicated", land_grid.ny,
+                            land_grid.nx, nd)
+
+                def _put_dense(arr, dtype):
+                    arr = jnp.asarray(arr, dtype)
+                    if dense_sh is not None:
+                        arr = jax.device_put(arr, dense_sh)
+                    return arr
+
+                flat_idx = np.full(self.n, -1, np.int64)
+                flat_idx[:land_grid.n_land] = land_grid.land_idx
+                land_flat = np.zeros(land_grid.ny * land_grid.nx,
+                                     bool)
+                land_flat[land_grid.land_idx] = True
+                ocean = np.flatnonzero(~land_flat)
+                dump = int(ocean[0]) if ocean.size else 0
+                flat_idx[land_grid.n_land:] = dump
+
+                def _grid_routing(params):
+                    return GridRouting(
+                        params=params,
+                        flat_idx=_put(flat_idx, jnp.int32),
+                        n_land=int(land_grid.n_land),
+                        ny=int(land_grid.ny), nx=int(land_grid.nx),
+                        dense_sharding=dense_sh)
+
             if cfg.routing_scheme == "muskingum":
                 acc = flow_accumulation(land_grid, down_np)
                 if elev is None and cfg.routing_network_path is not None:
@@ -122,74 +183,39 @@ class Simulation:
                 else:
                     slope_np = reach_slope(land_grid, down_np,
                                            elevation=elev)
-                self.routing = MuskingumParams(
-                    downstream=downstream,
-                    flow_length=_put(flow_length_m(land_grid, down_np)),
-                    slope=_put(slope_np),
-                    width=_put(bankfull_width_m(acc)),
-                    cell_area=_put(cell_area_m2(land_grid)),
-                    n_substeps=cfg.routing_substeps,
-                    n_manning=cfg.routing_manning)
+                if routing_form == "grid":
+                    from .physics.routing import GridMuskingumParams
+                    self.routing = _grid_routing(GridMuskingumParams(
+                        dir_code=_put_dense(codes, jnp.int32),
+                        flow_length=_put_dense(length_g, self.dtype),
+                        slope=_put_dense(land_grid.scatter(
+                            slope_np, fill=1.0e-3), self.dtype),
+                        width=_put_dense(land_grid.scatter(
+                            bankfull_width_m(acc), fill=1.0),
+                            self.dtype),
+                        cell_area=_put_dense(land_grid.scatter(
+                            cell_area_m2(land_grid), fill=1.0),
+                            self.dtype),
+                        n_substeps=cfg.routing_substeps,
+                        n_manning=cfg.routing_manning))
+                else:
+                    self.routing = MuskingumParams(
+                        downstream=downstream,
+                        flow_length=_put(flow_length_m(land_grid,
+                                                       down_np)),
+                        slope=_put(slope_np),
+                        width=_put(bankfull_width_m(acc)),
+                        cell_area=_put(cell_area_m2(land_grid)),
+                        n_substeps=cfg.routing_substeps,
+                        n_manning=cfg.routing_manning)
             elif cfg.routing_scheme == "kinematic":
                 if routing_form == "grid":
-                    # Dense halo-exchange form (VERDICT r2 item 4): the
-                    # per-direction rolls lower to collective-permute
-                    # halos; equivalence with the packed segment-sum is
-                    # pinned by tests/test_routing.py.
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-
-                    from .grids.routing import direction_codes
-                    from .physics.routing import (GridKinematicParams,
-                                                  GridRouting)
-                    codes = direction_codes(land_grid, down_np)
-                    length_g = land_grid.scatter(
-                        flow_length_m(land_grid, down_np), fill=1.0)
-                    dense_sh = None
-                    if sharding is not None:
-                        # Shard the dense grid over the 1-D cell mesh
-                        # along whichever spatial axis the device count
-                        # divides (lat rows preferred): the rolls across
-                        # that axis cross shard boundaries as
-                        # collective-permute halo exchanges.
-                        nd = sharding.n_devices
-                        if land_grid.ny % nd == 0:
-                            dense_sh = NamedSharding(
-                                sharding.mesh, P(sharding.axis, None))
-                        elif land_grid.nx % nd == 0:
-                            dense_sh = NamedSharding(
-                                sharding.mesh, P(None, sharding.axis))
-                        else:
-                            log.warning(
-                                "grid routing: neither ny=%d nor nx=%d "
-                                "divisible by %d devices; dense router "
-                                "runs replicated", land_grid.ny,
-                                land_grid.nx, nd)
-
-                    def _put_dense(arr, dtype):
-                        arr = jnp.asarray(arr, dtype)
-                        if dense_sh is not None:
-                            arr = jax.device_put(arr, dense_sh)
-                        return arr
-
-                    flat_idx = np.full(self.n, -1, np.int64)
-                    flat_idx[:land_grid.n_land] = land_grid.land_idx
-                    land_flat = np.zeros(land_grid.ny * land_grid.nx,
-                                         bool)
-                    land_flat[land_grid.land_idx] = True
-                    ocean = np.flatnonzero(~land_flat)
-                    dump = int(ocean[0]) if ocean.size else 0
-                    flat_idx[land_grid.n_land:] = dump
-                    self.routing = GridRouting(
-                        params=GridKinematicParams(
-                            dir_code=_put_dense(codes, jnp.int32),
-                            flow_length=_put_dense(length_g, self.dtype),
-                            n_substeps=cfg.routing_substeps,
-                            c0=cfg.routing_celerity),
-                        flat_idx=_put(flat_idx, jnp.int32),
-                        n_land=int(land_grid.n_land),
-                        ny=int(land_grid.ny), nx=int(land_grid.nx),
-                        dense_sharding=dense_sh)
+                    from .physics.routing import GridKinematicParams
+                    self.routing = _grid_routing(GridKinematicParams(
+                        dir_code=_put_dense(codes, jnp.int32),
+                        flow_length=_put_dense(length_g, self.dtype),
+                        n_substeps=cfg.routing_substeps,
+                        c0=cfg.routing_celerity))
                 else:
                     self.routing = KinematicParams(
                         downstream=downstream,

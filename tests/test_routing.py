@@ -202,6 +202,63 @@ def test_grid_kinematic_matches_packed():
         float(jnp.sum(d_g)), float(jnp.sum(d_p)), rtol=1e-5)
 
 
+def test_grid_muskingum_matches_packed():
+    """The dense roll/halo form of the Muskingum-Cunge router is
+    numerically identical to the packed segment-sum form on the same
+    network and per-reach geometry."""
+    from hybrid9_tpu.grids.routing import (bankfull_width_m,
+                                           cell_area_m2,
+                                           flow_accumulation,
+                                           reach_slope)
+    from hybrid9_tpu.physics.routing import (GridMuskingumParams,
+                                             route_muskingum_day,
+                                             route_muskingum_day_grid)
+
+    grid = _grid()
+    p_packed = _mc_params(grid, n_substeps=4)
+    down = build_downstream_index(grid)
+    acc = flow_accumulation(grid, down)
+    p_grid = GridMuskingumParams(
+        dir_code=jnp.asarray(direction_codes(grid, down)),
+        flow_length=jnp.asarray(
+            grid.scatter(flow_length_m(grid, down), fill=1.0),
+            jnp.float32),
+        slope=jnp.asarray(grid.scatter(reach_slope(grid, down),
+                                       fill=1.0e-3), jnp.float32),
+        width=jnp.asarray(grid.scatter(bankfull_width_m(acc), fill=1.0),
+                          jnp.float32),
+        cell_area=jnp.asarray(grid.scatter(cell_area_m2(grid), fill=1.0),
+                              jnp.float32),
+        n_substeps=4)
+
+    rng = np.random.RandomState(9)
+    store = (rng.rand(grid.n_padded) * 10.0).astype(np.float32)
+    store[grid.n_land:] = 0.0
+    local = (rng.rand(grid.n_padded) * 3.0).astype(np.float32)
+    local[grid.n_land:] = 0.0
+
+    s_p, d_p = jax.jit(route_muskingum_day)(
+        jnp.asarray(store), jnp.asarray(local),
+        jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if a.dtype == jnp.float64 else a, p_packed))
+
+    store_g = grid.scatter(store, fill=0.0)
+    local_g = grid.scatter(local, fill=0.0)
+    s_g, d_g = jax.jit(route_muskingum_day_grid)(
+        jnp.asarray(store_g), jnp.asarray(local_g), p_grid)
+
+    np.testing.assert_allclose(
+        np.asarray(s_g.reshape(-1)[grid.land_idx]),
+        np.asarray(s_p)[:grid.n_land], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        float(jnp.sum(d_g)), float(jnp.sum(d_p)), rtol=1e-5)
+    # Mass closes identically in both forms.
+    np.testing.assert_allclose(
+        float(jnp.sum(s_g) + jnp.sum(d_g)),
+        float(np.sum(store) + np.sum(local)), rtol=1e-5)
+
+
 def test_grid_kinematic_2d_sharded_halo():
     """Under a 2-D (lat, lon) block sharding the dense router exchanges
     water through collective-permute halos and matches the unsharded
@@ -397,7 +454,8 @@ def test_muskingum_wiring(tmp_path):
     cfg = Config(resolution_deg=12.0, start_year=1901, end_year=1901,
                  forcing_block_days=30, cell_block=32, nisurf=8,
                  output_path=str(tmp_path), use_pallas=False,
-                 routing_scheme="muskingum", routing_substeps=4)
+                 routing_scheme="muskingum", routing_substeps=4,
+                 routing_form="packed")
     grid, params = load_soil(cfg)
     sim = Simulation(cfg, params, land_grid=grid)
     assert isinstance(sim.routing, MuskingumParams)
@@ -597,7 +655,8 @@ def test_flowdir_only_slope_uses_flints_law(tmp_path):
     from hybrid9_tpu.run import Simulation
 
     cfg = Config(resolution_deg=12.0, cell_block=32,
-                 routing_scheme="muskingum", use_pallas=False)
+                 routing_scheme="muskingum", use_pallas=False,
+                 routing_form="packed")
     grid, params = load_soil(cfg)
     # Build a flowdir field from the synthetic topology, then strip the
     # elevation so only the direction codes survive in the file.
@@ -647,23 +706,29 @@ def test_grid_routing_form_production_path():
     base = dict(resolution_deg=12.0, start_year=1901, end_year=1901,
                 forcing_block_days=366, cell_block=32, nisurf=4,
                 use_pallas=False, frozen_soil=False, snow=False,
-                routing_scheme="kinematic", lateral_groundwater=False)
-    results = {}
-    for form in ("packed", "grid"):
-        cfg = Config(**base, routing_form=form)
-        grid, params = load_soil(cfg)
-        provider = SyntheticForcingProvider(grid.n_padded, seed=4,
-                                            lat=grid.cell_lat)
-        sim = Simulation(cfg, params, land_grid=grid)
-        if form == "grid":
-            assert isinstance(sim.routing, GridRouting)
-        m = sim.run_year(1901, provider)
-        results[form] = m["discharge"][:grid.n_land]
-    np.testing.assert_allclose(results["grid"], results["packed"],
-                               rtol=1e-4, atol=1e-5)
+                lateral_groundwater=False)
+    for scheme in ("kinematic", "muskingum"):
+        results = {}
+        for form in ("packed", "grid"):
+            cfg = Config(**base, routing_scheme=scheme,
+                         routing_form=form)
+            grid, params = load_soil(cfg)
+            provider = SyntheticForcingProvider(grid.n_padded, seed=4,
+                                                lat=grid.cell_lat)
+            sim = Simulation(cfg, params, land_grid=grid)
+            if form == "grid":
+                assert isinstance(sim.routing, GridRouting)
+            m = sim.run_year(1901, provider)
+            results[form] = m["discharge"][:grid.n_land]
+        np.testing.assert_allclose(results["grid"], results["packed"],
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=scheme)
 
 
-def test_grid_routing_form_requires_kinematic():
+def test_grid_routing_form_requires_subdaily_scheme():
+    """The dense form exists for the sub-daily routers only; an explicit
+    grid+linear request is a config error (the 'auto' default resolves
+    linear to packed instead)."""
     import pytest
 
     from hybrid9_tpu.config import Config
@@ -671,10 +736,17 @@ def test_grid_routing_form_requires_kinematic():
     from hybrid9_tpu.run import Simulation
 
     cfg = Config(resolution_deg=12.0, cell_block=32, use_pallas=False,
-                 routing_scheme="muskingum", routing_form="grid")
+                 routing_scheme="linear", routing_form="grid")
     grid, params = load_soil(cfg)
     with pytest.raises(ValueError, match="routing_form='grid'"):
         Simulation(cfg, params, land_grid=grid)
+    # 'auto' + linear builds the packed daily reservoir, no error.
+    from hybrid9_tpu.physics.routing import RoutingParams
+    cfg2 = Config(resolution_deg=12.0, cell_block=32, use_pallas=False,
+                  routing_scheme="linear")
+    grid2, params2 = load_soil(cfg2)
+    sim = Simulation(cfg2, params2, land_grid=grid2)
+    assert isinstance(sim.routing, RoutingParams)
 
 
 def test_routers_honor_negative_runoff_reclaim():

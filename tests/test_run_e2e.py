@@ -97,8 +97,11 @@ def test_one_year_kinematic_routing(tmp_path):
     provider = SyntheticForcingProvider(
         grid.n_padded, seed=9, lat=grid.cell_lat, dtype=jnp.float32)
     sim = Simulation(cfg, params, land_grid=grid)
-    from hybrid9_tpu.physics.routing import KinematicParams
-    assert isinstance(sim.routing, KinematicParams)
+    from hybrid9_tpu.physics.routing import (GridKinematicParams,
+                                             GridRouting)
+    # routing_form="auto" resolves kinematic to the dense roll form.
+    assert isinstance(sim.routing, GridRouting)
+    assert isinstance(sim.routing.params, GridKinematicParams)
     results = sim.run(provider)
     assert float(np.max(results[0]["max_abs_residual"])) < 0.1
     assert float(np.sum(results[0]["discharge"])) > 0.0
