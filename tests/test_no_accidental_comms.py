@@ -137,12 +137,17 @@ def test_sharded_pallas_day_has_no_collectives(layer_grid):
         f"sharded Pallas day step contains collectives {hits}")
 
 
-def test_grid_routing_halos_are_collective_permutes(layer_grid):
-    """The production grid-routing path (Config.routing_form='grid' ->
-    GridRouting in _route) must exchange water through collective-permute
-    HALOS inside the substep loop; the only all-gather/all-reduce allowed
-    is the once-per-day packed<->dense resharding in the entry
-    computation (VERDICT r2 item 4)."""
+import pytest
+
+
+@pytest.mark.parametrize("scheme", ["kinematic", "muskingum"])
+def test_grid_routing_halos_are_collective_permutes(layer_grid, scheme):
+    """The production grid-routing path (Config.routing_form='grid'/auto
+    -> GridRouting in _route) must exchange water through
+    collective-permute HALOS inside the substep loop — for BOTH dense
+    schemes — and the only all-gather/all-reduce allowed is the
+    once-per-day packed<->dense resharding in the entry computation
+    (VERDICT r2 item 4)."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -151,6 +156,7 @@ def test_grid_routing_halos_are_collective_permutes(layer_grid):
     from hybrid9_tpu.grids.routing import (build_downstream_index,
                                            direction_codes, flow_length_m)
     from hybrid9_tpu.physics.routing import (GridKinematicParams,
+                                             GridMuskingumParams,
                                              GridRouting)
     from hybrid9_tpu.step import day_step
 
@@ -163,17 +169,31 @@ def test_grid_routing_halos_are_collective_permutes(layer_grid):
     cs = CellSharding.create()
     dense_sh = NamedSharding(cs.mesh, P(cs.axis, None))
 
+    def put_dense(arr, dtype=jnp.float32):
+        return jax.device_put(jnp.asarray(arr, dtype), dense_sh)
+
+    if scheme == "kinematic":
+        grid_params = GridKinematicParams(
+            dir_code=put_dense(codes, jnp.int32),
+            flow_length=put_dense(length_g), n_substeps=4)
+    else:
+        # The audit cares about communication structure, not hydrology:
+        # constant per-reach geometry is enough.
+        ones = np.ones((grid.ny, grid.nx), np.float32)
+        grid_params = GridMuskingumParams(
+            dir_code=put_dense(codes, jnp.int32),
+            flow_length=put_dense(length_g),
+            slope=put_dense(1.0e-3 * ones),
+            width=put_dense(10.0 * ones),
+            cell_area=put_dense(1.0e9 * ones), n_substeps=4)
+
     flat_idx = np.full(grid.n_padded, -1, np.int64)
     flat_idx[:grid.n_land] = grid.land_idx
     land_flat = np.zeros(grid.ny * grid.nx, bool)
     land_flat[grid.land_idx] = True
     flat_idx[grid.n_land:] = int(np.flatnonzero(~land_flat)[0])
     routing = GridRouting(
-        params=GridKinematicParams(
-            dir_code=jax.device_put(jnp.asarray(codes), dense_sh),
-            flow_length=jax.device_put(
-                jnp.asarray(length_g, jnp.float32), dense_sh),
-            n_substeps=4),
+        params=grid_params,
         flat_idx=cs.put(jnp.asarray(flat_idx, jnp.int32)),
         n_land=grid.n_land, ny=grid.ny, nx=grid.nx,
         dense_sharding=dense_sh)
