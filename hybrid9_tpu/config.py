@@ -178,16 +178,17 @@ class Config:
                                       # default".
     routing_k: float = 0.2            # Linear-reservoir release per day.
     routing_form: str = "auto"        # "auto" (default): "grid" for the
-                                      # kinematic scheme, else "packed".
+                                      # sub-daily schemes (kinematic AND
+                                      # muskingum), "packed" for linear.
                                       # "packed": segment-sum over the
                                       # packed cell axis (1-D sharding).
                                       # "grid": dense [ny, nx] halo-
                                       # exchange form — per-direction
                                       # rolls lower to collective-permute
-                                      # halos under a sharded mesh
-                                      # (kinematic scheme only; 2.7x
-                                      # faster than the packed scatter on
-                                      # one chip, PERFORMANCE.md r5).
+                                      # halos under a sharded mesh, and
+                                      # on one chip route ~4x faster
+                                      # than the packed scatters
+                                      # (PERFORMANCE.md late-r5).
     routing_network_path: Optional[str] = None  # NetCDF with 'flowdir'
                                       # (ESRI D8) and/or 'elevation' (m)
                                       # at model resolution; None =

@@ -234,14 +234,9 @@ def route_muskingum_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
 
     def substep(carry, _):
         s, dis = carry
-        vol = jnp.maximum(s, 0.0) * 1.0e-3 * p.cell_area     # mm -> m^3
-        h = jnp.maximum(vol / (p.width * p.flow_length), 1.0e-4)  # m
-        v = jnp.power(h, 2.0 / 3.0) * sqrt_s0 / p.n_manning  # m/s
-        cel = jnp.clip(5.0 / 3.0 * v, p.c_min, p.c_max)
-        k_t = p.flow_length / cel                            # s
-        x_w = jnp.clip(0.5 * (1.0 - (v * h)
-                              / (slope * cel * p.flow_length)),
-                       0.0, 0.5)
+        k_t, x_w = _mc_hydraulics(s, p.flow_length, p.width,
+                                  p.cell_area, slope, sqrt_s0,
+                                  p.n_manning, p.c_min, p.c_max)
         # Pass 1: kinematic outflow estimate -> same-substep inflow.
         out_kin = jnp.minimum(1.0, dt_r / k_t) * s
         i_rate = (jax.ops.segment_sum(out_kin, p.downstream,
@@ -262,6 +257,27 @@ def route_muskingum_day(store: jnp.ndarray, local_runoff_mm: jnp.ndarray,
         substep, (store, jnp.zeros_like(store)), None,
         length=p.n_substeps)
     return store, discharge
+
+
+def _mc_hydraulics(s, length, width, area, slope, sqrt_s0, n_manning,
+                   c_min, c_max):
+    """Per-reach Muskingum-Cunge hydraulic state from storage.
+
+    One definition shared by the packed ([n]) and dense ([ny, nx])
+    forms so the hydraulics can never diverge between them: channel
+    depth from storage over the w x L rectangular channel; Manning
+    velocity v = h^(2/3) sqrt(S0) / n; kinematic celerity c = (5/3) v;
+    travel time K = L / c; Cunge weighting X = 1/2 (1 - q / (S0 c L))
+    with unit discharge q = v h (Cunge 1969).  Returns ``(k_t, x_w)``.
+    """
+    vol = jnp.maximum(s, 0.0) * 1.0e-3 * area                # mm -> m^3
+    h = jnp.maximum(vol / (width * length), 1.0e-4)          # m
+    v = jnp.power(h, 2.0 / 3.0) * sqrt_s0 / n_manning        # m/s
+    cel = jnp.clip(5.0 / 3.0 * v, c_min, c_max)
+    k_t = length / cel                                       # s
+    x_w = jnp.clip(0.5 * (1.0 - (v * h) / (slope * cel * length)),
+                   0.0, 0.5)
+    return k_t, x_w
 
 
 # D8 offsets (dy, dx) — must match grids/routing.py _D8 order.
@@ -358,25 +374,23 @@ def route_muskingum_day_grid(store: jnp.ndarray, local_mm: jnp.ndarray,
     masks = [(p.dir_code == k).astype(store.dtype) for k in range(8)]
     landf = land.astype(store.dtype)
     oceanf = (p.dir_code == 8).astype(store.dtype)
-    # Same zero-slope guard as the packed form.
-    slope = jnp.maximum(p.slope, 1.0e-6)
+    # Fill-cell sanitisation (hoisted, loop-invariant): ocean/fill
+    # positions never contribute (masked by landf/masks), but the
+    # mask-MULTIPLY algebra needs their hydraulic intermediates finite —
+    # 0 * NaN is NaN and one NaN rolls into a land neighbour's inflow.
+    # On LAND cells the values pass through untouched so the packed
+    # equivalence is exact; the slope floor matches the packed form.
+    slope = jnp.where(land, jnp.maximum(p.slope, 1.0e-6), 1.0e-3)
     sqrt_s0 = jnp.sqrt(slope)
-    # Fill-cell guards: ocean/padding positions never contribute (masked
-    # by landf/masks), but their hydraulic intermediates must stay
-    # finite for the masked algebra to hold.
-    length = jnp.maximum(p.flow_length, 1.0)
-    width = jnp.maximum(p.width, 1.0e-2)
-    area = jnp.maximum(p.cell_area, 1.0)
+    length = jnp.where(land, p.flow_length, 1.0)
+    width = jnp.where(land, p.width, 1.0)
+    area = jnp.where(land, p.cell_area, 1.0)
 
     def substep(carry, _):
         s, dis = carry
-        vol = jnp.maximum(s, 0.0) * 1.0e-3 * area            # mm -> m^3
-        h = jnp.maximum(vol / (width * length), 1.0e-4)      # m
-        v = jnp.power(h, 2.0 / 3.0) * sqrt_s0 / p.n_manning  # m/s
-        cel = jnp.clip(5.0 / 3.0 * v, p.c_min, p.c_max)
-        k_t = length / cel                                   # s
-        x_w = jnp.clip(0.5 * (1.0 - (v * h) / (slope * cel * length)),
-                       0.0, 0.5)
+        k_t, x_w = _mc_hydraulics(s, length, width, area, slope,
+                                  sqrt_s0, p.n_manning, p.c_min,
+                                  p.c_max)
         # Pass 1: kinematic outflow estimate -> same-substep inflow.
         out_kin = landf * jnp.minimum(1.0, dt_r / k_t) * s
         i_rate = (_d8_inflow(out_kin, masks) + local_sub) / dt_r
@@ -411,8 +425,9 @@ class GridRouting:
     the 1-D cell sharding and the dense grid layout.
 
     ``flat_idx[n]``: flattened ``ny*nx`` grid index of each packed lane;
-    padding lanes point at ``dump_idx`` (an ocean cell) and contribute
-    zeros.  ``dense_sharding`` (optional, static) pins the dense
+    padding lanes carry an out-of-range index (``ny*nx``) so the
+    mode="drop" scatter discards them (no dump cell — safe even on an
+    all-land grid) and the gather-back clamp is masked by ``n_land``.  ``dense_sharding`` (optional, static) pins the dense
     intermediates' layout so the halos actually cross shard boundaries
     instead of GSPMD replicating the grid.
     """
@@ -488,10 +503,15 @@ def route_kinematic_day_grid(store: jnp.ndarray, local_mm: jnp.ndarray,
     masks = [(p.dir_code == k).astype(store.dtype) for k in range(8)]
     landf = land.astype(store.dtype)
     oceanf = (p.dir_code == 8).astype(store.dtype)
+    # Fill-cell sanitisation (hoisted): with mask-MULTIPLY algebra a
+    # NaN/0-length fill value off-land would poison frac (0 * NaN is
+    # NaN, and one NaN rolls into a land neighbour's inflow); land
+    # values pass through untouched.
+    length = jnp.where(land, p.flow_length, 1.0)
 
     def substep(carry, _):
         s, dis = carry
-        frac = _celerity_fraction(s, p.flow_length, dt_r, p.c0, p.s_ref,
+        frac = _celerity_fraction(s, length, dt_r, p.c0, p.s_ref,
                                   p.beta, p.c_min, p.c_max)
         out = landf * frac * jnp.maximum(s, 0.0)
         inflow = _d8_inflow(out, masks)

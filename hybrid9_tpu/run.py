@@ -150,14 +150,16 @@ class Simulation:
                         arr = jax.device_put(arr, dense_sh)
                     return arr
 
-                flat_idx = np.full(self.n, -1, np.int64)
+                # Padding lanes point one past the dense grid: the
+                # mode="drop" scatter in route_grid_day discards them
+                # outright (no dump cell, so an all-land grid cannot
+                # suffer a duplicate-index collision on cell 0), and
+                # the gather-back clamp reads garbage that the `real`
+                # mask then discards.
+                flat_idx = np.full(self.n,
+                                   land_grid.ny * land_grid.nx,
+                                   np.int64)
                 flat_idx[:land_grid.n_land] = land_grid.land_idx
-                land_flat = np.zeros(land_grid.ny * land_grid.nx,
-                                     bool)
-                land_flat[land_grid.land_idx] = True
-                ocean = np.flatnonzero(~land_flat)
-                dump = int(ocean[0]) if ocean.size else 0
-                flat_idx[land_grid.n_land:] = dump
 
                 def _grid_routing(params):
                     return GridRouting(

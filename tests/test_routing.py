@@ -259,6 +259,58 @@ def test_grid_muskingum_matches_packed():
         float(np.sum(store) + np.sum(local)), rtol=1e-5)
 
 
+def test_grid_routers_tolerate_nan_fill_values():
+    """The dense forms use mask-MULTIPLY algebra (hoisted f32 weights),
+    so a NaN fill value on a non-land cell would poison a land
+    neighbour's inflow (0 * NaN = NaN) unless the off-land hydraulic
+    fields are sanitised.  LandGrid.scatter's DEFAULT fill is NaN —
+    a direct constructor must survive it."""
+    from hybrid9_tpu.grids.routing import (bankfull_width_m,
+                                           cell_area_m2,
+                                           flow_accumulation,
+                                           reach_slope)
+    from hybrid9_tpu.physics.routing import (GridKinematicParams,
+                                             GridMuskingumParams,
+                                             route_kinematic_day_grid,
+                                             route_muskingum_day_grid)
+
+    grid = _grid()
+    down = build_downstream_index(grid)
+    codes = jnp.asarray(direction_codes(grid, down))
+    nanfill = dict(fill=np.nan)
+    length_g = jnp.asarray(
+        grid.scatter(flow_length_m(grid, down), **nanfill), jnp.float32)
+    acc = flow_accumulation(grid, down)
+    p_kin = GridKinematicParams(dir_code=codes, flow_length=length_g,
+                                n_substeps=4)
+    p_mc = GridMuskingumParams(
+        dir_code=codes, flow_length=length_g,
+        slope=jnp.asarray(grid.scatter(reach_slope(grid, down),
+                                       **nanfill), jnp.float32),
+        width=jnp.asarray(grid.scatter(bankfull_width_m(acc), **nanfill),
+                          jnp.float32),
+        cell_area=jnp.asarray(grid.scatter(cell_area_m2(grid),
+                                           **nanfill), jnp.float32),
+        n_substeps=4)
+
+    rng = np.random.RandomState(12)
+    store = grid.scatter(
+        (rng.rand(grid.n_padded) * 10.0).astype(np.float32), fill=0.0)
+    local = grid.scatter(
+        (rng.rand(grid.n_padded) * 2.0).astype(np.float32), fill=0.0)
+    land = np.asarray(codes) >= 0
+    for route, p in ((route_kinematic_day_grid, p_kin),
+                     (route_muskingum_day_grid, p_mc)):
+        s, d = jax.jit(route)(jnp.asarray(store), jnp.asarray(local), p)
+        assert np.all(np.isfinite(np.asarray(s)[land])), route.__name__
+        assert np.all(np.isfinite(np.asarray(d)[land])), route.__name__
+        # Mass still closes over land.
+        np.testing.assert_allclose(
+            float(jnp.sum(jnp.where(jnp.asarray(land), s, 0.0))
+                  + jnp.sum(jnp.where(jnp.asarray(land), d, 0.0))),
+            float(store.sum() + local.sum()), rtol=1e-5)
+
+
 def test_grid_kinematic_2d_sharded_halo():
     """Under a 2-D (lat, lon) block sharding the dense router exchanges
     water through collective-permute halos and matches the unsharded
